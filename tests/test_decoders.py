@@ -1,0 +1,232 @@
+"""Decoder correctness: numpy-oracle differential tests (standalone) plus
+bit-level parity tests against the torch reference (skipped when absent)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+from neural_ldpc_tpu.models import (
+    BoostedDecoderConfig,
+    BoostedNeuralDecoder,
+    NeuralDecoderConfig,
+    NeuralMinSumDecoder,
+)
+from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
+
+from oracle import oracle_decode_minsum
+
+
+def small_code():
+    """Tiny hand-made protograph for the slow oracle: 3x6 base graph, Z=4."""
+    bg = np.array([
+        [0, 1, -1, 2, 3, -1],
+        [2, -1, 1, -1, 0, 3],
+        [-1, 3, 0, 1, -1, 2],
+    ])
+    return bg, 4
+
+
+@pytest.mark.parametrize("sum_product", [False, True])
+def test_boosted_decoder_matches_oracle(sum_product):
+    bg, Z = small_code()
+    g = TannerGraph.from_basegraph(bg, Z)
+    B, iters = 3, 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, g.N, Z)).astype(np.float32) * 2
+
+    cfg = BoostedDecoderConfig(
+        n_iterations=iters,
+        decoder_type=DecoderType.SP if sum_product else DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3),
+        convention=Convention.STANDARD,
+    )
+    dec = BoostedNeuralDecoder(g, cfg)
+    params = dec.init_params()
+    cn_w = rng.uniform(0.3, 1.8, size=(iters, 1)).astype(np.float32)
+    vn_w = rng.uniform(0.3, 1.8, size=(iters, 1)).astype(np.float32)
+    params["weight_cn"] = jnp.asarray(cn_w)
+    params["weight_vn"] = jnp.asarray(vn_w)
+    ours = np.asarray(dec.apply(params, jnp.asarray(x)))
+
+    ref = oracle_decode_minsum(
+        bg, Z, x, iters,
+        cn_weight_per_iter=cn_w[:, 0], vn_weight_per_iter=vn_w[:, 0],
+        llr_clip=(-20.0, 20.0), sum_product=sum_product,
+    )
+    # SP's atanh near saturation amplifies f32-vs-f64 noise; MS is tight.
+    np.testing.assert_allclose(ours, ref, atol=0.05 if sum_product else 2e-4)
+
+
+def test_neural_decoder_matches_oracle():
+    bg, Z = small_code()
+    g = TannerGraph.from_basegraph(bg, Z)
+    B, iters = 3, 4
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, g.N, Z)).astype(np.float32) * 2
+
+    dec = NeuralMinSumDecoder(g, NeuralDecoderConfig(n_iterations=iters))
+    params = dec.init_params()
+    w = rng.uniform(0.3, 1.5, size=(iters, g.E)).astype(np.float32)
+    b = rng.uniform(-0.2, 0.2, size=(iters, g.E)).astype(np.float32)
+    params = {"weights_var": jnp.asarray(w), "biases_var": jnp.asarray(b)}
+    ours = np.asarray(dec.apply(params, jnp.asarray(x)))
+
+    ref = oracle_decode_minsum(bg, Z, x, iters, cn_weight_per_iter=w, bias_per_iter=b)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_minsum_corrects_errors_at_high_snr():
+    """End-to-end sanity: all-zero codeword through light AWGN decodes to zero
+    under the STANDARD convention (bit0 -> +1, decision LLR<0)."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=8, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    rng = np.random.default_rng(7)
+    sigma = 0.5  # ~6 dB for rate 3/4
+    B = 16
+    x_sym = 1.0 + sigma * rng.normal(size=(B, code.N, code.Z))
+    llr = (2.0 * x_sym / sigma**2).astype(np.float32)
+    assert (llr < 0).mean() > 0.01  # raw channel has bit errors
+    bits = np.asarray(dec.decode_hard(dec.init_params(), jnp.asarray(llr)))
+    assert bits.sum() == 0  # all corrected
+
+
+def test_decoder_batch_size_is_dynamic():
+    """The reference bakes batch_size into the module (SURVEY §3.2); ours must not."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(n_iterations=2))
+    p = dec.init_params()
+    for B in (1, 5):
+        out = dec.apply(p, jnp.zeros((B, code.N, code.Z)))
+        assert out.shape == (2, B, code.n_bits)
+
+
+def test_target_iter_selection():
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(n_iterations=4))
+    p = dec.init_params()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, code.N, code.Z)).astype(np.float32))
+    all_outs = dec(p, x)
+    np.testing.assert_array_equal(np.asarray(dec(p, x, target_iter=2)), np.asarray(all_outs[2]))
+    sel = dec(p, x, target_iter=[1, 3])
+    np.testing.assert_array_equal(np.asarray(sel[0]), np.asarray(all_outs[1]))
+    np.testing.assert_array_equal(np.asarray(sel[1]), np.asarray(all_outs[3]))
+
+
+# ----------------------------------------------------------------------
+# Differential parity vs the torch reference
+# ----------------------------------------------------------------------
+
+def _build_reference_model(torch, code, iters, B, sharing, decoder_type, qbit):
+    from boosted_neural_ldpc_decoder.ConnectingMatrix import ConnectingMatrix
+    from boosted_neural_ldpc_decoder.ConnectingMatrixTorch import ConnectingMatrixTorch
+    from boosted_neural_ldpc_decoder.BoostedNeuralLDPCDecoder import BoostedNeuralLDPCDecoder
+    from boosted_neural_ldpc_decoder.struct.DecoderType import DecoderType as RefDT
+    from boosted_neural_ldpc_decoder.struct.NodeWeightSharingConfig import (
+        NodeWeightSharingConfig as RefNWS,
+    )
+
+    conn = ConnectingMatrixTorch(
+        ConnectingMatrix(Z=code.Z, basegraph=code.basegraph.copy()),
+        device=torch.device("cpu"),
+    )
+    return BoostedNeuralLDPCDecoder(
+        iter_node_counts=iters, batch_size=B, connecting_matrix=conn,
+        node_weight_sharing_config=RefNWS(*sharing),
+        decoding_type={"SP": RefDT.SP, "MS": RefDT.MS, "QMS": RefDT.QMS}[decoder_type],
+        decoder_qms_qbit=qbit,
+    )
+
+
+PARITY_CASES = [
+    # (code, decoder, (cn, ucn, vn) sharing, randomize, atol)
+    ("wman_n576_r34_z24", "MS", (3, 0, 0), False, 5e-4),
+    ("wman_n576_r34_z24", "MS", (1, 0, 0), True, 2e-3),
+    ("wman_n576_r34_z24", "QMS", (3, 0, 3), True, 0.0),
+    ("wman_n576_r34_z24", "SP", (2, 0, 0), True, 5e-3),
+    ("nr_bg2_set0_z16", "QMS", (3, 0, 3), False, 0.0),
+    ("nr_bg2_set0_z16", "QMS", (3, 3, 2), True, 0.0),
+    ("nr_bg2_set0_z16", "MS", (2, 2, 0), True, 2e-3),
+]
+
+
+@pytest.mark.parametrize("code_name,dtype,sharing,randomize,atol", PARITY_CASES)
+def test_boosted_parity_with_torch_reference(
+    torch_reference, code_name, dtype, sharing, randomize, atol
+):
+    torch = torch_reference
+    code = get_code(code_name)
+    iters, B = 6, 4
+    ref = _build_reference_model(torch, code, iters, B, sharing, dtype, qbit=5)
+
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    cfg = BoostedDecoderConfig(
+        n_iterations=iters,
+        decoder_type={"SP": DecoderType.SP, "MS": DecoderType.MS, "QMS": DecoderType.QMS}[dtype],
+        qms_qbit=5,
+        sharing=NodeWeightSharingConfig(cn=sharing[0], ucn=sharing[1], vn=sharing[2]),
+        convention=Convention.REFERENCE,
+    )
+    ours = BoostedNeuralDecoder(g, cfg)
+    params = ours.init_params()
+
+    rng = np.random.RandomState(42)
+    if randomize:
+        for key in ("cn", "ucn", "vn"):
+            pk = f"weight_{key}"
+            if pk not in params:
+                continue
+            w = rng.uniform(0.2, 1.9, size=params[pk].shape).astype(np.float32)
+            params[pk] = jnp.asarray(w)
+            for i in range(w.shape[0]):
+                t = getattr(ref, f"weight_{key.upper()}_{i}")
+                t.data = torch.tensor(w[i].reshape(t.shape))
+
+    x = (rng.randn(B, code.N, code.Z) * 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = np.stack([o.numpy() for o in ref(torch.tensor(x))])
+    our_outs = np.asarray(ours.apply(params, jnp.asarray(x)))
+
+    err = np.abs(ref_outs - our_outs).max()
+    if atol == 0.0:
+        assert err == 0.0, f"QMS parity must be bit-exact, got {err}"
+    else:
+        assert err <= atol, f"max diff {err} > {atol}"
+
+
+def test_neural_parity_with_torch_reference(torch_reference):
+    torch = torch_reference
+    from neural_ldpc_decoder.ConnectingMatrix import ConnectingMatrix
+    from neural_ldpc_decoder.ConnectingMatrixTorch import ConnectingMatrixTorch
+    from neural_ldpc_decoder.NeuralLDPCDecoder import NeuralLDPCDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    iters, B = 5, 4
+    conn = ConnectingMatrixTorch(
+        ConnectingMatrix(Z=code.Z, basegraph=code.basegraph.copy()),
+        device=torch.device("cpu"),
+    )
+    ref = NeuralLDPCDecoder(iter_node_counts=iters, batch_size=B, connecting_matrix=conn)
+
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = NeuralMinSumDecoder(g, NeuralDecoderConfig(n_iterations=iters,
+                                                     convention=Convention.REFERENCE))
+    rng = np.random.RandomState(3)
+    w = rng.uniform(0.2, 1.5, size=(iters, g.E)).astype(np.float32)
+    b = rng.uniform(-0.3, 0.3, size=(iters, g.E)).astype(np.float32)
+    for i in range(iters):
+        ref.weights_var[i].data = torch.tensor(w[i])
+        ref.biases_var[i].data = torch.tensor(b[i])
+    params = {"weights_var": jnp.asarray(w), "biases_var": jnp.asarray(b)}
+
+    x = (rng.randn(B, code.N, code.Z) * 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = np.stack([o.numpy() for o in ref(torch.tensor(x))])
+    our_outs = np.asarray(dec.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(our_outs, ref_outs, atol=2e-3)

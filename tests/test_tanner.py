@@ -1,0 +1,121 @@
+"""Structural tests for the Tanner edge tables and dense-matrix reconstruction."""
+
+import numpy as np
+import pytest
+
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+
+
+@pytest.fixture(params=["wman_n576_r34_z24", "nr_bg2_set0_z16"])
+def code(request):
+    return get_code(request.param)
+
+
+@pytest.fixture
+def graph(code):
+    return TannerGraph.from_basegraph(code.basegraph, code.Z)
+
+
+def test_code_specs():
+    wman = get_code("wman_n576_r34_z24")
+    assert (wman.M, wman.N, wman.Z, wman.n_bits) == (6, 24, 24, 576)
+    bg2 = get_code("nr_bg2_set0_z16")
+    assert (bg2.M, bg2.N, bg2.Z, bg2.n_bits) == (42, 52, 16, 832)
+    assert bg2.gen_matrix.shape == (160, 832)
+
+
+def test_edge_counts(code, graph):
+    expected_E = int((code.basegraph != -1).sum())
+    assert graph.E == expected_E
+    assert graph.cn_degree.sum() == graph.E == graph.vn_degree.sum()
+    # wman: E=88, max deg (15, 6); bg2: E=197, max deg (10, 23)
+    if code.name.startswith("wman"):
+        assert (graph.E, graph.max_cn_degree, graph.max_vn_degree) == (88, 15, 6)
+    else:
+        assert (graph.E, graph.max_cn_degree, graph.max_vn_degree) == (197, 10, 23)
+
+
+def test_edge_order_is_row_major(graph):
+    # CN-order: lexicographic by (check, variable)
+    pairs = list(zip(graph.cn_of_edge.tolist(), graph.vn_of_edge.tolist()))
+    assert pairs == sorted(pairs)
+    # contiguous grouping per check
+    assert np.array_equal(graph.row_ptr[graph.cn_of_edge] + graph.slot_of_edge,
+                          np.arange(graph.E))
+
+
+def test_permutations_are_inverse(graph):
+    assert np.array_equal(graph.perm_cn2vn[graph.perm_vn2cn], np.arange(graph.E))
+    assert np.array_equal(graph.perm_vn2cn[graph.perm_cn2vn], np.arange(graph.E))
+    # VN-order is lexicographic by (variable, check)
+    pairs = [(graph.vn_of_edge[e], graph.cn_of_edge[e]) for e in graph.perm_vn2cn]
+    assert pairs == sorted(pairs)
+
+
+def test_padded_layouts(graph):
+    assert graph.cn_mask.sum() == graph.E
+    assert graph.vn_mask.sum() == graph.E
+    real = graph.cn_edges[graph.cn_mask]
+    assert np.array_equal(np.sort(real), np.arange(graph.E))
+    real_v = graph.vn_edges[graph.vn_mask]
+    assert np.array_equal(np.sort(real_v), np.arange(graph.E))
+    # every padded entry maps back to its owner
+    for m in range(graph.M):
+        for e in graph.cn_edges[m][graph.cn_mask[m]]:
+            assert graph.cn_of_edge[e] == m
+
+
+def test_roll_tables(graph):
+    x = np.random.default_rng(0).normal(size=(graph.Z, graph.E))
+    rolled = np.take_along_axis(x, graph.z_roll_in, axis=0)
+    for e in range(0, graph.E, 7):
+        s = graph.shift_of_edge[e]
+        assert np.array_equal(rolled[:, e], np.roll(x[:, e], -s))
+    unrolled = np.take_along_axis(rolled, graph.z_roll_out, axis=0)
+    assert np.array_equal(unrolled, x)
+
+
+def test_routing_matrix_invariants(graph):
+    """Verify the structural properties SURVEY.md §2.4 established for the
+    reference's matrices, on our reconstruction."""
+    mats = graph.routing_matrices()
+    E = graph.E
+    vn_deg_of_edge_v = graph.vn_degree[graph.vn_of_edge[graph.perm_vn2cn]]
+    cn_deg_of_edge_v = graph.cn_degree[graph.cn_of_edge[graph.perm_vn2cn]]
+
+    assert np.array_equal(mats["W_skipconn2even"].sum(axis=0), np.ones(E))
+    assert np.array_equal(mats["W_odd2even"].sum(axis=0), vn_deg_of_edge_v - 1)
+    # W_even2odd rows are VN-order edge indices (SURVEY §2.4)
+    assert np.array_equal(mats["W_even2odd"].sum(axis=1), cn_deg_of_edge_v - 1)
+    assert np.array_equal(mats["W_even2odd_with_self"].sum(axis=1), cn_deg_of_edge_v)
+    assert np.array_equal(mats["W_output"].sum(axis=1), np.ones(E))
+    assert np.array_equal(mats["W_skipconn2odd"].sum(axis=0), np.ones(E))
+    for key in ("lifting_matrix_1", "lifting_matrix_2"):
+        L = mats[key]
+        assert np.array_equal(L.sum(axis=0), np.ones(E * graph.Z))
+        assert np.array_equal(L.sum(axis=1), np.ones(E * graph.Z))
+        # block-diagonal permutation
+        assert np.array_equal(L @ L.T, np.eye(E * graph.Z))
+
+
+def test_lifted_h_matrix_annihilates_generator():
+    code = get_code("nr_bg2_set0_z16")
+    graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    H = graph.lifted_parity_check_matrix()
+    assert H.shape == (code.n_checks, code.n_bits)
+    assert ((H.astype(np.int64) @ code.gen_matrix.T) % 2).sum() == 0
+    # random codewords have zero syndrome
+    rng = np.random.default_rng(1)
+    cw = (rng.integers(0, 2, (8, code.n_info_bits)) @ code.gen_matrix) % 2
+    assert ((H.astype(np.int64) @ cw.T) % 2).sum() == 0
+
+
+def test_routing_matrices_match_torch_reference(code, graph, torch_reference):
+    """Exact equality with the reference ConnectingMatrix (differential)."""
+    from boosted_neural_ldpc_decoder.ConnectingMatrix import ConnectingMatrix
+
+    ref = ConnectingMatrix(Z=code.Z, basegraph=code.basegraph.copy())
+    ours = graph.routing_matrices()
+    for key in ours:
+        ref_mat = getattr(ref, key)
+        assert np.array_equal(ours[key], ref_mat), f"{key} differs"
