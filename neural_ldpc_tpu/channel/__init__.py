@@ -1,0 +1,2 @@
+from .awgn import AWGNChannel, ChannelConfig
+from .reference_datagen import ReferenceAWGNDatagen, ReferenceNeuralDatagen

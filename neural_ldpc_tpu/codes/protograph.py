@@ -95,10 +95,17 @@ class CodeSpec:
     def n_info_bits(self) -> int:
         return self.K * self.Z
 
-    def code_rate(self, n_punctured: int = 0, n_shortened: int = 0) -> float:
-        """Design rate K/(N - punct - short) in base-graph columns
-        (reference src/boosted_neural_ldpc_decoder/AWGNPassedDatagen.py:47)."""
-        return float(self.K) / float(self.N - n_punctured - n_shortened)
+    def code_rate(self, n_punctured_bits: int = 0, n_shortened_bits: int = 0) -> float:
+        """Design rate counted in bits: K*Z / (N*Z - punct - short).
+
+        The reference computes K/(N - len(punct) - len(short)) with N in
+        base-graph COLUMNS but puncture/shortening lengths in BITS
+        (src/boosted_neural_ldpc_decoder/AWGNPassedDatagen.py:47 vs the bit
+        ranges applied at :110-118) — that goes negative for any real range.
+        Both formulas agree in the unpunctured case the reference exercises;
+        we use the dimensionally consistent one.
+        """
+        return float(self.n_info_bits) / float(self.n_bits - n_punctured_bits - n_shortened_bits)
 
 
 def _resource(name: str) -> str:

@@ -242,6 +242,23 @@ class BoostedNeuralDecoder:
             return outputs[target_iter]
         return outputs[jnp.asarray(tuple(target_iter))]
 
+    def named_parameter_rows(self, params: Params) -> dict:
+        """Explode stacked params into reference-named per-iteration entries
+        (``weight_CN_3`` etc., reference _param_name :105-106) for the
+        hardware .txt export path."""
+        import numpy as np
+
+        named = {}
+        for key, spec in self.specs.items():
+            pk = f"weight_{key}"
+            if pk not in params:
+                continue
+            arr = np.asarray(params[pk])
+            row_iters = spec.temporal_rows if spec.temporal_rows else range(spec.n_iterations)
+            for r, it in enumerate(row_iters):
+                named[f"weight_{key.upper()}_{it}"] = arr[r]
+        return named
+
     def decode_hard(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
         """Final-iteration hard decisions [B, N*Z] (0/1) under the configured
         convention (see structs.Convention for the reference's decision quirk)."""

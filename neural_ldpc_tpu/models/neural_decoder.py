@@ -77,6 +77,18 @@ class NeuralMinSumDecoder:
     def __call__(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, chan_llr)
 
+    def named_parameter_rows(self, params: Params) -> dict:
+        """Per-iteration named entries (``weights_var_3`` / ``biases_var_3``,
+        mirroring the reference's ParameterList naming) for txt export."""
+        import numpy as np
+
+        named = {}
+        for pk in ("weights_var", "biases_var"):
+            arr = np.asarray(params[pk])
+            for i in range(arr.shape[0]):
+                named[f"{pk}_{i}"] = arr[i]
+        return named
+
     def decode_hard(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
         out = self.apply(params, chan_llr)[-1]
         if self.config.convention == Convention.REFERENCE:

@@ -1,0 +1,121 @@
+"""Training-loop tests: jitted step correctness, loss descent, freezing,
+checkpoint round-trip, txt export."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig, SharingMode
+from neural_ldpc_tpu.training import LearningRate, TrainConfig, Trainer, make_train_step
+from neural_ldpc_tpu.utils import CheckpointManager
+
+
+@pytest.fixture(scope="module")
+def setup():
+    code = get_code("wman_n576_r34_z24")
+    graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+        n_iterations=5, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3),
+        convention=Convention.STANDARD,
+    ))
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(2.0, 3.0, 4.0),
+                                              convention=Convention.STANDARD))
+    return code, graph, decoder, channel
+
+
+def test_train_step_reduces_loss(setup):
+    _, _, decoder, channel = setup
+    cfg = TrainConfig(batch_size=32)
+    init_opt, step = make_train_step(decoder, cfg)
+    params = decoder.init_params()
+    opt_state = init_opt(params)
+    key = jax.random.PRNGKey(0)
+    llr, bits = channel.sample_mixed(key, 32, all_zero=True)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        llr, bits = channel.sample_mixed(sub, 32, all_zero=True)
+        params, opt_state, loss = step(params, opt_state, llr, bits, jnp.float32(5e-3))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+    # weights stayed in the clamp range
+    for v in params.values():
+        assert float(v.min()) >= 0.0 and float(v.max()) <= 2.0
+
+
+def test_frozen_rows_do_not_move(setup):
+    code, graph, _, channel = setup
+    decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=1, ucn=0, vn=0),
+        fixed_iterative_nodes_init_weight=2,  # freeze iterations 0,1
+        convention=Convention.STANDARD,
+    ))
+    cfg = TrainConfig(batch_size=16)
+    init_opt, step = make_train_step(decoder, cfg)
+    params = decoder.init_params()
+    opt_state = init_opt(params)
+    before = np.asarray(params["weight_cn"])
+    llr, bits = channel.sample_mixed(jax.random.PRNGKey(1), 16)
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, llr, bits, jnp.float32(1e-2))
+    after = np.asarray(params["weight_cn"])
+    np.testing.assert_array_equal(after[:2], before[:2])  # frozen
+    assert np.abs(after[2:] - before[2:]).max() > 0  # trained
+
+
+def test_trainer_short_run(tmp_path, setup):
+    code, graph, decoder, channel = setup
+    cfg = TrainConfig(
+        total_epochs=2, batch_size=16, train_words_per_epoch=64,
+        validate_words=32, validate_epoch_step=1, checkpoint_step=1,
+        log_metrics_step=1, checkpoint_dir=str(tmp_path), verbose=False,
+        learning_rate=LearningRate(1e-3, 0, 0), is_y_all_zero=True,
+    )
+    trainer = Trainer(decoder, channel, cfg)
+    params, opt_state, summary = trainer.train()
+    assert os.path.exists(tmp_path / "checkpoint_epoch_0002.npz")
+    assert os.path.exists(tmp_path / "training_metrics.txt")
+    txt_dir = tmp_path / "weights_epoch_0002_weights_txt"
+    assert (txt_dir / "index.txt").exists()
+    assert (txt_dir / "weight_CN_0.txt").exists()
+    assert (txt_dir / "weight_VN_4.txt").exists()
+    lines = (tmp_path / "training_metrics.txt").read_text().splitlines()
+    assert lines[0].startswith("# Training started:")
+    assert any(line.startswith("   2, ") for line in lines)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    _, _, decoder, channel = setup
+    cfg = TrainConfig(batch_size=8, checkpoint_dir=str(tmp_path))
+    init_opt, step = make_train_step(decoder, cfg)
+    params = decoder.init_params()
+    opt_state = init_opt(params)
+    llr, bits = channel.sample_mixed(jax.random.PRNGKey(2), 8)
+    params, opt_state, _ = step(params, opt_state, llr, bits, jnp.float32(1e-2))
+
+    cm = CheckpointManager(str(tmp_path))
+    key = jax.random.PRNGKey(7)
+    cm.save("ck", params, opt_state, epoch=3, metrics={"loss": 1.0},
+            rng_key=key, extra_arrays={"words": np.array(123)})
+    p2, o2, meta, k2, extras = cm.load("ck", params, opt_state)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 params, p2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 opt_state, o2)
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(jax.random.key_data(k2), jax.random.key_data(key))
+    assert int(extras["words"]) == 123
+
+    # resumed training continues deterministically
+    a1, _, _ = step(params, opt_state, llr, bits, jnp.float32(1e-2))
+    a2, _, _ = step(p2, o2, llr, bits, jnp.float32(1e-2))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), a1, a2)
