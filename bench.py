@@ -1,0 +1,85 @@
+"""Headline benchmark: decoded codewords/s/chip, WiMAX N=576 R=3/4, min-sum,
+5 BP iterations (BASELINE config 1).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "codewords/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the torch reference decoding the same workload
+(BoostedNeuralLDPCDecoder, MS, wman, 5 iterations, batch 128) measured on this
+image's CPU: 24.4 codewords/s (single-thread torch 2.13; see BASELINE.md —
+the reference publishes no numbers of its own, so the driver-mandated
+">=10x vs CPU" anchor is this measurement).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_CPU_WORDS_PER_S = 24.4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
+
+    code = get_code("wman_n576_r34_z24")
+    graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    decoder = BoostedNeuralDecoder(
+        graph,
+        BoostedDecoderConfig(
+            n_iterations=5,
+            decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+            convention=Convention.STANDARD,
+        ),
+    )
+    params = decoder.init_params()
+
+    decode = jax.jit(lambda p, x: decoder.apply(p, x)[-1])
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    best_batch = 0
+    for batch in (1024, 4096, 16384, 65536):
+        x = jnp.asarray(rng.normal(size=(batch, code.N, code.Z)).astype(np.float32) * 4)
+        out = decode(params, x)
+        jax.block_until_ready(out)  # compile + warmup
+        reps = max(1, int(2_000_000 / batch))
+        reps = min(reps, 50)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = decode(params, x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        wps = batch * reps / dt
+        print(f"batch {batch}: {wps:,.0f} words/s ({reps} reps, {dt:.3f}s)", file=sys.stderr)
+        if wps > best:
+            best, best_batch = wps, batch
+
+    print(
+        json.dumps(
+            {
+                "metric": "decoded codewords/s/chip (wman N=576 R=3/4, min-sum, 5 iterations)",
+                "value": round(best, 1),
+                "unit": "codewords/s/chip",
+                "vs_baseline": round(best / REFERENCE_CPU_WORDS_PER_S, 2),
+                "detail": {
+                    "batch": best_batch,
+                    "device": str(jax.devices()[0]),
+                    "baseline": "torch reference CPU, same workload, 24.4 words/s",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

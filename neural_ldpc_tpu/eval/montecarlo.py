@@ -1,0 +1,138 @@
+"""Monte-Carlo BER/FER campaign engine.
+
+The reference has no evaluation campaign tooling beyond the inline validation
+loop (train/…:328-399); this is the production SNR-sweep engine the BASELINE
+configs call for: a single jitted generate->decode->count step per batch,
+batch sharded over the device mesh (counts reduce globally inside jit),
+early stopping per SNR point at a target frame-error count, and fully
+checkpointable/restartable state (counters + PRNG key) for 1e9-word runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import AWGNChannel
+from ..eval.metrics import count_errors
+from ..parallel import mesh as meshlib
+from ..utils.checkpoint import CheckpointManager
+
+
+@dataclasses.dataclass
+class CampaignConfig:
+    batch_size: int = 1024
+    max_words_per_snr: int = 1_000_000
+    min_frame_errors: int = 100  # stop an SNR point once reached (0 = never)
+    all_zero: bool = True
+    seed: int = 2042
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_batches: int = 200
+
+
+class MonteCarloCampaign:
+    """Sweep the channel's SNR list, decode, and accumulate error counters.
+
+    Results: dict snr_db -> {words, per-iteration ber/fer arrays}.  State can
+    be saved/restored mid-campaign (SURVEY.md §5 failure-recovery equivalent:
+    restartable counters + key).
+    """
+
+    def __init__(
+        self,
+        decoder,
+        params,
+        channel: AWGNChannel,
+        config: CampaignConfig = CampaignConfig(),
+        mesh=None,
+    ):
+        self.decoder = decoder
+        self.params = params
+        self.channel = channel
+        self.cfg = config
+        self.mesh = mesh
+        self.n_iters = decoder.config.n_iterations
+        S = len(channel.sigma)
+        self.key = jax.random.PRNGKey(config.seed)
+        self.words = np.zeros(S, np.int64)
+        self.bit_errors = np.zeros((S, self.n_iters), np.float64)
+        self.frame_errors = np.zeros((S, self.n_iters), np.float64)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        convention = self.decoder.config.convention
+        channel, decoder, cfg = self.channel, self.decoder, self.cfg
+
+        def step(params, key, sigma):
+            llr, bits = channel.sample(
+                key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
+            )
+            outputs = decoder.apply(params, llr)
+            return count_errors(bits, outputs, convention)
+
+        if self.mesh is not None:
+            repl = meshlib.replicated_sharding(self.mesh)
+            return jax.jit(step, in_shardings=(repl, None, None))
+        return jax.jit(step)
+
+    def run(self, verbose: bool = True):
+        cfg = self.cfg
+        ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+        for s, sigma in enumerate(self.channel.sigma):
+            batches_done = 0
+            while self.words[s] < cfg.max_words_per_snr:
+                if cfg.min_frame_errors and self.frame_errors[s, -1] >= cfg.min_frame_errors:
+                    break
+                self.key, sub = jax.random.split(self.key)
+                counts = self._step(self.params, sub, jnp.float32(sigma))
+                self.words[s] += cfg.batch_size
+                self.bit_errors[s] += np.asarray(counts.bit_errors, np.float64)
+                self.frame_errors[s] += np.asarray(counts.frame_errors, np.float64)
+                batches_done += 1
+                if ckpt and batches_done % cfg.checkpoint_every_batches == 0:
+                    self.save_state(ckpt)
+            if verbose:
+                r = self.results()[float(self.channel.config.snr_db[s])]
+                print(f"SNR {self.channel.config.snr_db[s]:.2f} dB: "
+                      f"{int(self.words[s])} words, BER {r['ber'][-1]:.3e}, "
+                      f"FER {r['fer'][-1]:.3e}")
+        if ckpt:
+            self.save_state(ckpt)
+        return self.results()
+
+    def results(self):
+        out = {}
+        nz = self.channel.code.n_bits
+        for s, snr in enumerate(self.channel.config.snr_db):
+            w = max(int(self.words[s]), 1)
+            out[float(snr)] = {
+                "words": int(self.words[s]),
+                "ber": (self.bit_errors[s] / (w * nz)).tolist(),
+                "fer": (self.frame_errors[s] / w).tolist(),
+            }
+        return out
+
+    # ------------------------------------------------------------------
+    def save_state(self, ckpt: CheckpointManager, name: str = "mc_campaign"):
+        ckpt.save(
+            name, self.params, rng_key=self.key,
+            extra_arrays={
+                "words": self.words,
+                "bit_errors": self.bit_errors,
+                "frame_errors": self.frame_errors,
+            },
+        )
+
+    def restore_state(self, ckpt: CheckpointManager, name: str = "mc_campaign"):
+        params, _, _, key, extras = ckpt.load(name, self.params)
+        self.params = params
+        if key is not None:
+            self.key = key
+        self.words = extras["words"].astype(np.int64)
+        self.bit_errors = extras["bit_errors"]
+        self.frame_errors = extras["frame_errors"]
