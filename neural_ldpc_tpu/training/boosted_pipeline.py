@@ -1,0 +1,170 @@
+"""Two-stage boosted error-floor training pipeline (Kwak et al.,
+arXiv:2310.07194).
+
+The reference ships the *machinery* for this workflow — fixed iterative nodes,
+temporal weight sharing, ``fixed_iterative_nodes_init_weight`` freezing,
+forward-time fixed-iteration weight overrides
+(BoostedNeuralLDPCDecoder.py:264-334,:498-503) — but no end-to-end driver.
+This module is that driver:
+
+  stage 1  train the BASE decoder (iterations 0..base_iters-1) on the normal
+           mixed-SNR channel;
+  collect  run the trained base decoder over fresh channel words and harvest
+           the words it FAILS to correct (the error-floor sample set);
+  stage 2  extend the decoder to base_iters + post_iters iterations, seed the
+           first base_iters weight rows from stage 1 and freeze them
+           (fixed_iterative_nodes_init_weight = base_iters), then train the
+           post-decoder iterations on the collected uncorrected words with the
+           loss restricted to the post iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import AWGNChannel
+from ..codes.tanner import TannerGraph
+from ..eval.metrics import hard_decision
+from ..models.boosted_decoder import BoostedDecoderConfig, BoostedNeuralDecoder
+from ..structs import SharingMode
+from .train_loop import TrainConfig, Trainer
+
+
+@dataclasses.dataclass
+class BoostedPipelineConfig:
+    base_iters: int = 20  # Delta_1 (reference train/…:141 iter_step)
+    post_iters: int = 5  # Delta_2 (reference train/…:140 fixed_init)
+    collect_words: int = 2048  # error-floor sample budget
+    collect_batch_size: int = 1024
+    collect_snr_index: int = -1  # channel SNR used for harvesting (-1 = highest)
+    max_collect_batches: int = 2000
+    seed: int = 911
+
+
+class BoostedPipeline:
+    def __init__(
+        self,
+        graph: TannerGraph,
+        channel: AWGNChannel,
+        base_config: BoostedDecoderConfig,
+        base_train: TrainConfig,
+        post_train: TrainConfig,
+        pipeline: BoostedPipelineConfig = BoostedPipelineConfig(),
+        mesh=None,
+    ):
+        if base_config.n_iterations != pipeline.base_iters:
+            raise ValueError("base_config.n_iterations must equal pipeline.base_iters")
+        self.graph = graph
+        self.channel = channel
+        self.base_config = base_config
+        self.base_train = base_train
+        self.post_train = dataclasses.replace(
+            post_train,
+            training_iter_start=pipeline.base_iters,
+            training_iter_end=pipeline.base_iters + pipeline.post_iters,
+        )
+        self.cfg = pipeline
+        self.mesh = mesh
+
+        self.base_decoder = BoostedNeuralDecoder(graph, base_config)
+        self.post_decoder = BoostedNeuralDecoder(graph, self.extended_config())
+
+    def extended_config(self) -> BoostedDecoderConfig:
+        return dataclasses.replace(
+            self.base_config,
+            n_iterations=self.cfg.base_iters + self.cfg.post_iters,
+            fixed_iterative_nodes_init_weight=self.cfg.base_iters,
+        )
+
+    # ------------------------------------------------------------------
+    def transfer_base_params(self, base_params) -> dict:
+        """Seed the extended decoder: rows [0, base_iters) copied from the
+        trained base, post rows at their init values."""
+        ext = self.post_decoder.init_params()
+        out = {}
+        for k, v in ext.items():
+            if k in base_params:
+                base_rows = np.asarray(base_params[k])
+                v = v.at[: base_rows.shape[0]].set(jnp.asarray(base_rows))
+            out[k] = v
+        return out
+
+    # ------------------------------------------------------------------
+    def collect_uncorrected_words(self, params, key=None, decoder=None, verbose=True):
+        """Harvest channel words the (base) decoder fails on — the training
+        set for the post decoder.  Returns (llr [W, N, Z], bits [W, NZ])."""
+        cfg = self.cfg
+        decoder = decoder or self.base_decoder
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        snr_idx = cfg.collect_snr_index % len(self.channel.sigma)
+        convention = decoder.config.convention
+
+        @jax.jit
+        def decode_fail_mask(params, llr, bits):
+            out = decoder.apply(params, llr)[-1]
+            errs = hard_decision(out, convention) != bits.astype(jnp.int32)
+            return errs.any(axis=1)
+
+        llrs, bit_rows = [], []
+        collected = 0
+        for _ in range(cfg.max_collect_batches):
+            if collected >= cfg.collect_words:
+                break
+            key, sub = jax.random.split(key)
+            llr, bits = self.channel.sample_at(
+                sub, cfg.collect_batch_size, snr_idx,
+                all_zero=self.base_train.is_y_all_zero,
+            )
+            fail = np.asarray(decode_fail_mask(params, llr, bits))
+            if fail.any():
+                llrs.append(np.asarray(llr)[fail])
+                bit_rows.append(np.asarray(bits)[fail])
+                collected += int(fail.sum())
+        if collected == 0:
+            raise RuntimeError(
+                "no uncorrected words found — raise the SNR index or word budget"
+            )
+        llr = np.concatenate(llrs)[: cfg.collect_words]
+        bits = np.concatenate(bit_rows)[: cfg.collect_words]
+        if verbose:
+            print(f"collected {len(llr)} uncorrected words at "
+                  f"SNR {self.channel.config.snr_db[snr_idx]} dB")
+        return llr, bits
+
+    # ------------------------------------------------------------------
+    def run(self, base_params: Optional[dict] = None, verbose: bool = True):
+        """Execute the full pipeline; returns (extended_params, report)."""
+        report = {}
+
+        # stage 1: base decoder
+        if base_params is None:
+            trainer = Trainer(self.base_decoder, self.channel, self.base_train,
+                              mesh=self.mesh)
+            base_params, _, s1 = trainer.train()
+            report["stage1"] = s1
+
+        # collect error-floor words
+        llr_pool, bits_pool = self.collect_uncorrected_words(base_params,
+                                                             verbose=verbose)
+        report["collected_words"] = int(len(llr_pool))
+
+        # stage 2: post decoder on the collected pool
+        params = self.transfer_base_params(base_params)
+        rng = np.random.default_rng(self.cfg.seed)
+        bs = self.post_train.batch_size
+
+        def pool_datagen(batch_size):
+            idx = rng.integers(0, len(llr_pool), size=batch_size)
+            return llr_pool[idx], bits_pool[idx]
+
+        assert bs <= len(llr_pool), "post batch size exceeds collected pool"
+        trainer2 = Trainer(self.post_decoder, self.channel, self.post_train,
+                           mesh=self.mesh, host_datagen=pool_datagen)
+        params, _, s2 = trainer2.train(params=params)
+        report["stage2"] = s2
+        return base_params, params, report

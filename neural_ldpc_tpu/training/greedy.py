@@ -1,0 +1,126 @@
+"""Greedy per-layer training (Dai et al.) for the neural min-sum decoder.
+
+Reference workflow: test/test_neural_ldpc_decoder/test_NeuralLDPCDecoder.py —
+25 unrolled iterations with a 25-entry decreasing-SNR curriculum (one SNR per
+layer, :34-36), batch 50, one Adam optimizer PER iteration over that
+iteration's (weight, bias) pair (:75-76); each epoch trains every layer once
+on data drawn at its own SNR with BCE on that layer's output (:90-113).
+
+Here the whole per-layer step is one jitted function with the layer index as
+a traced scalar: gradients are taken through the full unrolled decoder, masked
+to the target layer's parameter rows, and a per-row Adam (independent moments
+and step counts per layer, like the reference's optimizer list) updates just
+that row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channel.awgn import AWGNChannel
+from ..models.neural_decoder import NeuralMinSumDecoder
+from ..structs import Convention, LossType
+from .loss import multi_iteration_loss
+
+# Dai et al. 25-layer SNR curriculum (reference test :34-36)
+DAI_SNR_CURRICULUM = (
+    9.0, 6.05, 4.1, 2.95, 2.25, 1.8, 1.55, 1.3, 1.15, 1.05, 0.94, 0.85,
+    0.83, 0.81, 0.8, 0.8, 0.8, 0.75, 0.75, 0.7, 0.7, 0.7, 0.7, 0.7, 0.7,
+)
+
+
+@dataclasses.dataclass
+class GreedyTrainConfig:
+    total_epochs: int = 100
+    batch_size: int = 50
+    learning_rate: float = 5e-3
+    is_y_all_zero: bool = True
+    seed: int = 2042
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    verbose: bool = True
+    log_every_epochs: int = 10
+
+
+class GreedyLayerTrainer:
+    """Per-layer curriculum trainer.  ``channel`` must be built with one SNR
+    per decoder layer (e.g. DAI_SNR_CURRICULUM)."""
+
+    def __init__(
+        self,
+        decoder: NeuralMinSumDecoder,
+        channel: AWGNChannel,
+        config: GreedyTrainConfig = GreedyTrainConfig(),
+    ):
+        if len(channel.sigma) != decoder.config.n_iterations:
+            raise ValueError(
+                f"curriculum length {len(channel.sigma)} != layers "
+                f"{decoder.config.n_iterations}"
+            )
+        self.decoder = decoder
+        self.channel = channel
+        self.cfg = config
+        self._step = self._build_step()
+
+    def init_optimizer_state(self, params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        steps = jnp.zeros((self.decoder.config.n_iterations,), jnp.float32)
+        return {"m": zeros, "v": zeros, "t": steps}
+
+    def _build_step(self):
+        cfg = self.cfg
+        decoder = self.decoder
+        convention = decoder.config.convention
+
+        def loss_fn(params, llr, bits, layer):
+            outputs = decoder.apply(params, llr)
+            out_i = jax.lax.dynamic_index_in_dim(outputs, layer, 0, keepdims=False)
+            return multi_iteration_loss(out_i[None], bits, LossType.BCE,
+                                        convention=convention)
+
+        def step(params, opt, llr, bits, layer):
+            loss, grads = jax.value_and_grad(loss_fn)(params, llr, bits, layer)
+            t = opt["t"][layer] + 1.0
+            new_params, new_m, new_v = {}, {}, {}
+            for k in params:
+                g = grads[k][layer]
+                m = cfg.adam_b1 * opt["m"][k][layer] + (1 - cfg.adam_b1) * g
+                v = cfg.adam_b2 * opt["v"][k][layer] + (1 - cfg.adam_b2) * g * g
+                mhat = m / (1 - cfg.adam_b1 ** t)
+                vhat = v / (1 - cfg.adam_b2 ** t)
+                upd = -cfg.learning_rate * mhat / (jnp.sqrt(vhat) + cfg.adam_eps)
+                new_params[k] = params[k].at[layer].add(upd)
+                new_m[k] = opt["m"][k].at[layer].set(m)
+                new_v[k] = opt["v"][k].at[layer].set(v)
+            new_opt = {"m": new_m, "v": new_v, "t": opt["t"].at[layer].set(t)}
+            return new_params, new_opt, loss
+
+        return jax.jit(step)
+
+    def train(self, params=None, opt_state: Optional[dict] = None):
+        cfg = self.cfg
+        n_layers = self.decoder.config.n_iterations
+        params = params if params is not None else self.decoder.init_params()
+        opt_state = opt_state if opt_state is not None else self.init_optimizer_state(params)
+        key = jax.random.PRNGKey(cfg.seed)
+        last_losses = np.zeros(n_layers)
+        for epoch in range(cfg.total_epochs):
+            for layer in range(n_layers):
+                key, sub = jax.random.split(key)
+                llr, bits = self.channel.sample_at(
+                    sub, cfg.batch_size, layer, all_zero=cfg.is_y_all_zero
+                )
+                params, opt_state, loss = self._step(
+                    params, opt_state, llr, bits, jnp.int32(layer)
+                )
+                last_losses[layer] = float(loss)
+            if cfg.verbose and epoch % cfg.log_every_epochs == 0:
+                print(f"greedy epoch {epoch}/{cfg.total_epochs}: "
+                      f"layer losses {last_losses.round(4).tolist()}")
+        return params, opt_state, {"layer_losses": last_losses.tolist()}

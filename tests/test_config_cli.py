@@ -1,0 +1,64 @@
+"""Config dataclass round-trip and CLI plumbing (parser-level, no training)."""
+
+import json
+
+import pytest
+
+from neural_ldpc_tpu.cli.evaluate import parse_snr
+from neural_ldpc_tpu.cli.train import build_parser, parse_overrides, resolve_config
+from neural_ldpc_tpu.structs import Convention, DecoderType, LossType, SharingMode
+from neural_ldpc_tpu.utils.config import PRESETS, ExperimentConfig, get_preset
+
+
+def test_presets_cover_baseline_configs():
+    assert set(PRESETS) == {
+        "wman_ms_plain", "wman_neural_train", "bg2_qms_train",
+        "boosted_error_floor", "montecarlo_campaign",
+    }
+    for name, cfg in PRESETS.items():
+        code = cfg.build_code()
+        assert code.n_bits in (576, 832)
+        cfg.build_decoder_config()
+        cfg.build_train_config()
+
+
+def test_config_json_roundtrip():
+    cfg = get_preset("boosted_error_floor").override(
+        total_epochs=7, snr_db=(1.0, 2.0), convention=Convention.REFERENCE)
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.decoder_type is DecoderType.QMS
+    assert cfg2.loss_type is LossType.BCE
+    assert cfg2.cn_sharing is SharingMode.ITER
+    assert cfg2.snr_db == (1.0, 2.0)
+
+
+def test_config_rejects_unknown_field():
+    with pytest.raises(KeyError, match="unknown config field"):
+        ExperimentConfig.from_dict({"not_a_field": 1})
+
+
+def test_cli_overrides():
+    assert parse_overrides(["batch_size=64", "snr_db=[1.0,2.0]"]) == {
+        "batch_size": 64, "snr_db": [1.0, 2.0]}
+    args = build_parser().parse_args(
+        ["--preset", "wman_ms_plain", "--epochs", "3", "--y_all_zero",
+         "--set", "batch_size=8"])
+    cfg = resolve_config(args)
+    assert cfg.total_epochs == 3 and cfg.y_all_zero and cfg.batch_size == 8
+    assert cfg.code == "wman_n576_r34_z24"
+
+
+def test_snr_range_parsing():
+    assert parse_snr("1.0:2.0:0.5") == (1.0, 1.5, 2.0)
+    assert parse_snr("3,4.5") == (3.0, 4.5)
+    assert parse_snr(None) is None
+
+
+def test_dump_config_is_valid_json(capsys):
+    from neural_ldpc_tpu.cli.train import main
+
+    assert main(["--preset", "wman_ms_plain", "--dump-config"]) == 0
+    out = capsys.readouterr().out
+    parsed = json.loads(out)
+    assert parsed["code"] == "wman_n576_r34_z24"
