@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codes.tanner import TannerGraph
-from ..ops import bp
+from ..ops import bp, flat
 from ..ops.quantize import qms_quantize_ste
 from ..structs import Clipping, Convention, DecoderType, NodeWeightSharingConfig, SharingMode
 from .sharing import build_sharing_specs
@@ -57,6 +57,16 @@ class BoostedDecoderConfig:
     init_ucn_weight: float = 1.0
     init_vn_weight: float = 1.0
     convention: Convention = Convention.STANDARD
+    # TPU fast path: "flat" = one-hot MXU routing on a flat [B, E*Z] message
+    # layout (ops/flat.py, 1.7x-5.4x faster on TPU v5e than "edge" gathers);
+    # "edge" = the gather formulation in ops/bp.py (required for REFERENCE-
+    # convention parity, which needs the reference's epsilon hacks).  "auto"
+    # picks flat for STANDARD convention and edge for REFERENCE.
+    routing: str = "auto"
+    cn_reduce: str = "auto"  # flat-path check reduction: slot_matmul | gather
+    # jax matmul precision for the one-hot routing ("highest" for exact-f32
+    # differential tests; None = backend default, bf16-pass MXU on TPU).
+    matmul_precision: Optional[str] = None
 
 
 class BoostedNeuralDecoder:
@@ -71,6 +81,22 @@ class BoostedNeuralDecoder:
         )
         if config.sharing.ucn != SharingMode.NONE and config.sharing.cn == SharingMode.NONE:
             raise ValueError("UCN weighting requires CN weighting (reference forward :433-503)")
+        if config.routing not in ("auto", "flat", "edge"):
+            raise ValueError(f"unknown routing {config.routing!r}")
+        if config.routing == "flat" and config.convention == Convention.REFERENCE:
+            raise ValueError(
+                "flat routing implements the STANDARD convention only; "
+                "REFERENCE-parity needs routing='edge'"
+            )
+        self.use_flat = config.routing == "flat" or (
+            config.routing == "auto" and config.convention == Convention.STANDARD
+        )
+        # built eagerly: constructing device constants lazily inside a jit
+        # trace would cache tracers on self (UnexpectedTracerError)
+        self.fa = (
+            flat.FlatGraphArrays.from_graph(graph, config.cn_reduce)
+            if self.use_flat else None
+        )
 
     # ------------------------------------------------------------------
     # Parameters
@@ -132,6 +158,8 @@ class BoostedNeuralDecoder:
         produced by the channel).  Returns per-iteration APP outputs
         [I, B, N*Z] (reference forward returns the same as a list, :533-538).
         """
+        if self.use_flat:
+            return self._apply_flat(params, chan_llr, fixed_iter_weights)
         cfg = self.config
         ga = self.ga
         parity = cfg.convention == Convention.REFERENCE
@@ -224,6 +252,95 @@ class BoostedNeuralDecoder:
         _, outs = jax.lax.scan(body, (msg0, sums0, app0, chan), xs)
         # [I, B, Z, N] -> [I, B, N, Z] -> [I, B, N*Z] (flat bit order n*Z+z)
         return jnp.swapaxes(outs, 2, 3).reshape(cfg.n_iterations, B, ga.N * ga.Z)
+
+    def _apply_flat(
+        self,
+        params: Params,
+        chan_llr: jnp.ndarray,
+        fixed_iter_weights: Optional[dict[str, dict[int, jnp.ndarray]]] = None,
+    ) -> jnp.ndarray:
+        """TPU fast path: same semantics as the edge path under the STANDARD
+        convention, on the flat [B, E*Z] layout with MXU routing (ops/flat.py).
+        """
+        cfg = self.config
+        fa = self.fa
+        prec = cfg.matmul_precision
+        is_qms = cfg.decoder_type == DecoderType.QMS
+        llr_lo, llr_hi = cfg.allowed_llr_range.start, cfg.allowed_llr_range.end
+
+        B = chan_llr.shape[0]
+        chan = chan_llr.astype(jnp.float32).reshape(B, fa.N * fa.Z)  # [B, NZ]
+        chan_out = qms_quantize_ste(chan, cfg.qms_qbit) if is_qms else chan
+
+        cn_w, ucn_w, vn_w = self._expanded_weights(params, fixed_iter_weights)
+        use_ucn = cfg.sharing.ucn != SharingMode.NONE
+
+        xs = {
+            "i": jnp.arange(cfg.n_iterations),
+            "cn_w": cn_w if cn_w is not None else jnp.zeros((cfg.n_iterations, 0)),
+            "ucn_w": ucn_w if ucn_w is not None else jnp.zeros((cfg.n_iterations, 0)),
+            "vn_w": vn_w if vn_w is not None else jnp.zeros((cfg.n_iterations, 0)),
+        }
+
+        msg0 = jnp.zeros((B, fa.E * fa.Z), jnp.float32)
+        sums0 = jnp.zeros((B, fa.N * fa.Z), jnp.float32)
+        app0 = jnp.zeros((B, fa.N * fa.Z), jnp.float32)
+
+        def body(carry, x):
+            msg, vn_sums, prev_app = carry
+            i = x["i"]
+
+            # VN input weighting + quantization (reference :325-337)
+            xa_w = chan * fa.vn_weights_to_flat(x["vn_w"])[None] if vn_w is not None else chan
+            xa_q = qms_quantize_ste(xa_w, cfg.qms_qbit) if is_qms else xa_w
+
+            # UCN detection from previous APP (reference :339-374)
+            if use_ucn:
+                app = jnp.where(i == 0, xa_q, prev_app)
+                ucn_mask = flat.check_parity_flat(app, fa, precision=prec)
+                scn_mask = 1.0 - ucn_mask
+
+            # VN update, routing + lift in one matmul (reference :376-384)
+            v2c = flat.route_to_edges(xa_q + vn_sums, fa, precision=prec) - msg
+
+            # pre-CN clip / quantize (reference :386-389)
+            if is_qms:
+                v2c = qms_quantize_ste(v2c, cfg.qms_qbit)
+            else:
+                v2c = jnp.clip(v2c, llr_lo, llr_hi)
+
+            # CN update (reference :391-423)
+            if cfg.decoder_type == DecoderType.SP:
+                c2v = flat.cn_sumproduct_flat(v2c, fa, precision=prec)
+            else:
+                c2v = flat.cn_minsum_flat(v2c, fa, precision=prec)
+
+            # CN/UCN weighting on magnitudes (reference :431-503)
+            mag = jnp.abs(c2v)
+            if cn_w is None:
+                w_mag = mag
+            elif use_ucn:
+                cw = fa.edge_weights_to_flat(x["cn_w"])[None]
+                uw = fa.edge_weights_to_flat(x["ucn_w"])[None]
+                w_mag = mag * cw * scn_mask + mag * uw * ucn_mask
+            else:
+                w_mag = mag * fa.edge_weights_to_flat(x["cn_w"])[None]
+
+            # ReLU + post clip/quantize, re-sign (reference :505-512)
+            w_mag = jnp.maximum(w_mag, 0.0)
+            if is_qms:
+                w_mag = qms_quantize_ste(w_mag, cfg.qms_qbit)
+            else:
+                w_mag = jnp.clip(w_mag, llr_lo, llr_hi)
+            msg_new = w_mag * jnp.sign(c2v)
+
+            # marginal / APP output (reference :513-526)
+            sums_new = flat.route_to_vns(msg_new, fa, precision=prec)
+            out = jnp.clip(chan_out + sums_new, llr_lo, llr_hi)
+            return (msg_new, sums_new, out), out
+
+        _, outs = jax.lax.scan(body, (msg0, sums0, app0), xs)
+        return outs  # [I, B, N*Z], already in flat bit order n*Z+z
 
     def __call__(
         self,

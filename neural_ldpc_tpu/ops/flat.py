@@ -1,0 +1,232 @@
+"""Flat-layout BP ops with one-hot MXU routing — the TPU fast path.
+
+Message layout is a single flat CN-form axis q = e*Z + z (edge-major, z = the
+check copy's lifted index), so a batch of messages is [B, E*Z] and the channel
+/ APP side is [B, N*Z] with flat bit index p = n*Z + z (the framework's
+codeword bit order).  All VN<->CN routing — including the protograph lifting
+roll — is absorbed into a single one-hot operand ``R`` ([N*Z, E*Z]) applied as
+an MXU matmul:
+
+    R[n*Z + zv, e*Z + zc] = 1  iff  vn(e) = n and zv = (zc + shift_e) % Z
+
+This mirrors the *reference's* dense one-hot-matmul formulation
+(src/boosted_neural_ldpc_decoder/BoostedNeuralLDPCDecoder.py:376-384,425-429 —
+W_skipconn2even / W_odd2even / lifting matmuls) but collapses its five routing
+operands and two (EZ)x(EZ) lifting matmuls into one [NZ, EZ] matrix each way,
+and replaces its O(E^2) [B, Z, E, E] check-node tile with O(E * max_deg)
+padded reductions.  Measured on TPU v5e this is 1.7x-5.4x faster than the
+pure-gather formulation in ops/bp.py (benchmarks/exp_routing.py), because XLA
+lowers minor-dim gathers poorly while one-hot matmuls ride the MXU.
+
+The check-node reduction offers two strategies, selected by operand size:
+  * "slot_matmul": D extra one-hot matmuls route each check's d-th edge slot
+    to a [B, M*Z] plane — zero gathers, fastest for small codes (wman).
+  * "gather": a single static gather on the *major* axis of [B, E(+1), Z]
+    builds the [B, M, D, Z] padded view — scales to large basegraphs (BG2)
+    where the slot operands would be tens of MB.
+
+Gradients flow through everything (matmuls, padded reductions), so this path
+serves training as well as Monte-Carlo evaluation.  Numerical note: TPU f32
+matmuls run in bf16-pass precision by default; one-hot routing therefore adds
+~1e-3 relative noise vs the gather path.  Pass precision="highest" (or run on
+CPU, where f32 matmuls are exact) for differential tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.tanner import TannerGraph
+
+_BIG = 10000.0  # masking magnitude for min-reductions
+_SP_EPS = 1e-7  # atanh clamp (reference BoostedNeuralLDPCDecoder.py:406-408)
+
+# slot-matmul operands beyond this size stream too much HBM per iteration;
+# fall back to the major-axis gather (BG2's would be ~85 MB).
+_SLOT_MATMUL_MAX_BYTES = 32 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatGraphArrays:
+    """Trace-time constants for the flat fast path."""
+
+    M: int
+    N: int
+    Z: int
+    E: int
+    D: int  # max check degree
+
+    R: jnp.ndarray  # [N*Z, E*Z] one-hot routing (+lift) operand
+    cn_gather: jnp.ndarray  # [M*D] int32 edge ids, E = pad sentinel
+    cn_of_edge: jnp.ndarray  # [E] int32
+    slot_of_edge: jnp.ndarray  # [E] int32
+    cn_slot_mask: jnp.ndarray  # [M, D] float32, 1 where a real edge exists
+
+    # slot-matmul operands (None when the code is too large for them)
+    Ts: Optional[jnp.ndarray]  # [D, E*Z, M*Z] one-hot slot selectors
+    Cb: Optional[jnp.ndarray]  # [M*Z, E*Z] per-check -> per-edge broadcast
+
+    @staticmethod
+    def from_graph(g: TannerGraph, cn_reduce: str = "auto") -> "FlatGraphArrays":
+        Z, E, N, M, D = g.Z, g.E, g.N, g.M, g.max_cn_degree
+
+        e = np.arange(E)[:, None]
+        zc = np.arange(Z)[None, :]
+        zv = (zc + g.shift_of_edge[:, None]) % Z
+        R = np.zeros((N * Z, E * Z), np.float32)
+        R[(g.vn_of_edge[:, None] * Z + zv).ravel(), (e * Z + zc).ravel()] = 1.0
+
+        slot_bytes = (D * E * Z * M * Z + M * Z * E * Z) * 4
+        use_slots = cn_reduce == "slot_matmul" or (
+            cn_reduce == "auto" and slot_bytes <= _SLOT_MATMUL_MAX_BYTES
+        )
+        Ts = Cb = None
+        if use_slots:
+            Ts_np = np.zeros((D, E * Z, M * Z), np.float32)
+            z = np.arange(Z)
+            for d in range(D):
+                for m in range(M):
+                    ed = g.cn_edges[m, d]
+                    if ed < E:
+                        Ts_np[d, ed * Z + z, m * Z + z] = 1.0
+            Cb_np = np.zeros((M * Z, E * Z), np.float32)
+            for ee in range(E):
+                Cb_np[g.cn_of_edge[ee] * Z + z, ee * Z + z] = 1.0
+            Ts, Cb = jnp.asarray(Ts_np), jnp.asarray(Cb_np)
+
+        return FlatGraphArrays(
+            M=M, N=N, Z=Z, E=E, D=D,
+            R=jnp.asarray(R),
+            cn_gather=jnp.asarray(np.minimum(g.cn_edges, E).reshape(-1).astype(np.int32)),
+            cn_of_edge=jnp.asarray(g.cn_of_edge),
+            slot_of_edge=jnp.asarray(g.slot_of_edge),
+            cn_slot_mask=jnp.asarray((g.cn_edges < E).astype(np.float32)),
+            Ts=Ts, Cb=Cb,
+        )
+
+    def edge_weights_to_flat(self, w: jnp.ndarray) -> jnp.ndarray:
+        """[..., E] per-edge weights -> [..., E*Z] (constant across lift copies,
+        like the reference's per-proto-edge weights tiled over Z)."""
+        return jnp.repeat(w, self.Z, axis=-1)
+
+    def vn_weights_to_flat(self, w: jnp.ndarray) -> jnp.ndarray:
+        """[..., N] per-VN weights -> [..., N*Z]."""
+        return jnp.repeat(w, self.Z, axis=-1)
+
+
+def route_to_edges(x_nz: jnp.ndarray, fa: FlatGraphArrays, precision=None) -> jnp.ndarray:
+    """[B, N*Z] VN-copy values -> [B, E*Z] CN-form edges (lift roll included).
+
+    Replaces the reference's ``xa @ W_skipconn2even`` + ``llr @ W_odd2even`` +
+    ``x @ lifting_matrix_1.T`` chain (:376-384) with one matmul."""
+    return jnp.dot(x_nz, fa.R, precision=precision, preferred_element_type=jnp.float32)
+
+
+def route_to_vns(msg: jnp.ndarray, fa: FlatGraphArrays, precision=None) -> jnp.ndarray:
+    """[B, E*Z] CN-form messages -> per-VN-copy sums [B, N*Z] (marginal
+    accumulation; replaces ``llr @ W_output`` + inverse lift, :425-429,513)."""
+    return jnp.dot(msg, fa.R.T, precision=precision, preferred_element_type=jnp.float32)
+
+
+def _padded_check_view(msg: jnp.ndarray, fa: FlatGraphArrays, fill: float) -> jnp.ndarray:
+    """[B, E*Z] -> [B, M, D, Z] via one static major-axis gather."""
+    B = msg.shape[0]
+    me = msg.reshape(B, fa.E, fa.Z)
+    mp = jnp.concatenate([me, jnp.full((B, 1, fa.Z), fill, msg.dtype)], axis=1)
+    return mp[:, fa.cn_gather, :].reshape(B, fa.M, fa.D, fa.Z)
+
+
+def _two_min(gmat: jnp.ndarray):
+    """min / second-min / argmin over the last axis."""
+    m1 = gmat.min(axis=-1)
+    am = gmat.argmin(axis=-1)
+    slot_iota = jnp.arange(gmat.shape[-1], dtype=am.dtype)
+    m2 = jnp.where(slot_iota == am[..., None], _BIG, gmat).min(axis=-1)
+    return m1, m2, am
+
+
+def cn_minsum_flat(v2c: jnp.ndarray, fa: FlatGraphArrays, precision=None) -> jnp.ndarray:
+    """Extrinsic min-sum check update on flat messages: [B, E*Z] -> [B, E*Z].
+
+    Replaces the reference's [B, Z, E, E] masked tile (:394-423) with the
+    two-min trick over the padded per-check view."""
+    B = v2c.shape[0]
+    a = jnp.abs(v2c)
+    s = jnp.where(v2c >= 0, 1.0, -1.0).astype(v2c.dtype)
+
+    if fa.Ts is not None:
+        # slot-matmul strategy: [B, EZ] x [EZ, MZ] per slot -> [B, MZ, D]
+        gmat = jnp.einsum("be,dem->bmd", a, fa.Ts,
+                          precision=precision, preferred_element_type=jnp.float32)
+        sprod = jnp.einsum("be,dem->bmd", s, fa.Ts,
+                           precision=precision, preferred_element_type=jnp.float32)
+        mask = jnp.repeat(fa.cn_slot_mask, fa.Z, axis=0)  # [M*Z, D]
+        gmat = jnp.where(mask > 0, gmat, _BIG)
+        sprod = jnp.where(mask > 0, sprod, 1.0)
+        m1, m2, am = _two_min(gmat)  # [B, M*Z]
+        sp_all = sprod.prod(axis=-1)
+        # back to edges (+ slot comparison for the extrinsic min)
+        m1e = jnp.dot(m1, fa.Cb, precision=precision, preferred_element_type=jnp.float32)
+        m2e = jnp.dot(m2, fa.Cb, precision=precision, preferred_element_type=jnp.float32)
+        ame = jnp.dot(am.astype(jnp.float32), fa.Cb,
+                      precision=precision, preferred_element_type=jnp.float32)
+        spe = jnp.dot(sp_all, fa.Cb, precision=precision, preferred_element_type=jnp.float32)
+        slot_flat = jnp.repeat(fa.slot_of_edge, fa.Z).astype(jnp.float32)
+        mag = jnp.where(slot_flat[None, :] == ame, m2e, m1e)
+        return mag * spe * s
+
+    # gather strategy (large codes): [B, M, D, Z] padded view
+    gmat = jnp.swapaxes(_padded_check_view(jnp.abs(v2c), fa, _BIG), 2, 3)  # [B,M,Z,D]
+    m1, m2, am = _two_min(gmat)  # [B, M, Z]
+    sp = _padded_check_view(s, fa, 1.0).prod(axis=2)  # [B, M, Z]
+    m1e = m1[:, fa.cn_of_edge, :]
+    m2e = m2[:, fa.cn_of_edge, :]
+    ame = am[:, fa.cn_of_edge, :]
+    mag = jnp.where(fa.slot_of_edge[None, :, None] == ame, m2e, m1e)
+    se = s.reshape(B, fa.E, fa.Z)
+    sgn = sp[:, fa.cn_of_edge, :] * se
+    return (mag * sgn).reshape(B, fa.E * fa.Z)
+
+
+def cn_sumproduct_flat(v2c: jnp.ndarray, fa: FlatGraphArrays, precision=None) -> jnp.ndarray:
+    """Extrinsic sum-product (tanh domain) check update on flat messages.
+
+    Prefix/suffix products over the padded per-check view give the
+    exclude-self product in O(D) (reference does it with the E x E tile,
+    :400-408)."""
+    B = v2c.shape[0]
+    t = _padded_check_view(jnp.tanh(0.5 * v2c), fa, 1.0)  # [B, M, D, Z]
+    prefix = jnp.cumprod(t, axis=2)
+    suffix = jnp.cumprod(t[:, :, ::-1, :], axis=2)[:, :, ::-1, :]
+    ones = jnp.ones_like(t[:, :, :1, :])
+    pre = jnp.concatenate([ones, prefix[:, :, :-1, :]], axis=2)
+    suf = jnp.concatenate([suffix[:, :, 1:, :], ones], axis=2)
+    ext = pre * suf  # [B, M, D, Z] extrinsic product per slot
+    # scatter back to edges: slot (m, d) -> edge cn_edges[m, d]
+    ext_e = ext.reshape(B, fa.M * fa.D, fa.Z)[
+        :, fa.cn_of_edge * fa.D + fa.slot_of_edge, :
+    ]
+    ext_e = jnp.clip(ext_e, -1.0 + _SP_EPS, 1.0 - _SP_EPS)
+    return (2.0 * jnp.arctanh(ext_e)).reshape(B, fa.E * fa.Z)
+
+
+def check_parity_flat(app_nz: jnp.ndarray, fa: FlatGraphArrays, precision=None) -> jnp.ndarray:
+    """Per-edge unsatisfied-check indicator from APP [B, N*Z] -> [B, E*Z].
+
+    UCN detection (reference :339-368): hard-decide each VN copy, route the
+    decision signs through the graph (lift included), and mark every edge of
+    each odd-parity lifted check.  In flat CN-form the indicator is constant
+    along a check copy's edges, so no roll-back pass is needed."""
+    sign = jnp.where(app_nz < 0, -1.0, 1.0).astype(app_nz.dtype)
+    sign_e = route_to_edges(sign, fa, precision=precision)
+    # routed one-hot sums are exact +-1 up to matmul noise; re-harden
+    sign_e = jnp.where(sign_e < 0, -1.0, 1.0)
+    parity = _padded_check_view(sign_e, fa, 1.0).prod(axis=2)  # [B, M, Z]
+    ucn = (parity < 0).astype(app_nz.dtype)
+    B = app_nz.shape[0]
+    return ucn[:, fa.cn_of_edge, :].reshape(B, fa.E * fa.Z)

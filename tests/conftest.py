@@ -4,12 +4,19 @@ multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does pin it
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# In the axon environment a sitecustomize hook imports jax at interpreter
+# start with JAX_PLATFORMS=axon already baked in, so the env var alone cannot
+# repin the platform — update the live config before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU platform"
+assert len(jax.devices()) == 8, "expected the 8-device virtual CPU mesh"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -230,3 +230,90 @@ def test_neural_parity_with_torch_reference(torch_reference):
         ref_outs = np.stack([o.numpy() for o in ref(torch.tensor(x))])
     our_outs = np.asarray(dec.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(our_outs, ref_outs, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "code_name,decoder_type,sharing,fixed",
+    [
+        ("wman_n576_r34_z24", DecoderType.MS, dict(cn=3, ucn=0, vn=0), ()),
+        ("wman_n576_r34_z24", DecoderType.QMS, dict(cn=3, ucn=0, vn=3), ()),
+        ("wman_n576_r34_z24", DecoderType.SP, dict(cn=1, ucn=0, vn=2), ()),
+        ("wman_n576_r34_z24", DecoderType.MS, dict(cn=2, ucn=2, vn=3), ()),
+        ("wman_n576_r34_z24", DecoderType.MS, dict(cn=5, ucn=4, vn=5), (2,)),
+        ("nr_bg2_set0_z16", DecoderType.MS, dict(cn=3, ucn=2, vn=3), ()),
+        ("nr_bg2_set0_z16", DecoderType.QMS, dict(cn=3, ucn=0, vn=3), ()),
+    ],
+)
+def test_flat_routing_matches_edge_routing(code_name, decoder_type, sharing, fixed):
+    """The TPU fast path (ops/flat.py one-hot MXU routing) must be numerically
+    equivalent to the gather formulation (ops/bp.py) across decoder variants.
+    SP tolerance is looser: arctanh near +-1 amplifies product-order noise."""
+    code = get_code(code_name)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(3, code.N, code.Z)).astype(np.float32) * 3)
+    kw = dict(
+        n_iterations=4,
+        decoder_type=decoder_type,
+        qms_qbit=5,
+        sharing=NodeWeightSharingConfig(**sharing),
+        convention=Convention.STANDARD,
+        fixed_iterative_nodes=fixed,
+    )
+    edge = BoostedNeuralDecoder(g, BoostedDecoderConfig(routing="edge", **kw))
+    flat_ = BoostedNeuralDecoder(
+        g, BoostedDecoderConfig(routing="flat", matmul_precision="highest", **kw)
+    )
+    params = edge.init_params()
+    params = {
+        k: v * (1 + 0.3 * jnp.asarray(rng.normal(size=v.shape).astype(np.float32)))
+        for k, v in params.items()
+    }
+    oe = np.asarray(edge.apply(params, x))
+    of = np.asarray(flat_.apply(params, x))
+    atol = 5e-4 if decoder_type == DecoderType.SP else 2e-4
+    np.testing.assert_allclose(of, oe, atol=atol)
+
+
+def test_flat_cn_reduce_strategies_agree():
+    """slot-matmul and gather CN reductions must agree (wman supports both)."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, code.N, code.Z)).astype(np.float32) * 3)
+    kw = dict(n_iterations=4, decoder_type=DecoderType.MS,
+              sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+              routing="flat", matmul_precision="highest")
+    a = BoostedNeuralDecoder(g, BoostedDecoderConfig(cn_reduce="slot_matmul", **kw))
+    b = BoostedNeuralDecoder(g, BoostedDecoderConfig(cn_reduce="gather", **kw))
+    assert a.fa.Ts is not None and b.fa.Ts is None
+    p = a.init_params()
+    np.testing.assert_allclose(
+        np.asarray(a.apply(p, x)), np.asarray(b.apply(p, x)), atol=1e-5
+    )
+
+
+def test_flat_routing_is_differentiable():
+    """Gradients must flow through the flat path (training uses it too)."""
+    import jax
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3), routing="flat",
+        ),
+    )
+    params = dec.init_params()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, code.N, code.Z)).astype(np.float32) * 3)
+
+    def loss(p):
+        return jnp.mean(jax.nn.sigmoid(dec.apply(p, x)[-1]))
+
+    grads = jax.grad(loss)(params)
+    for k, v in grads.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+        assert float(jnp.max(jnp.abs(v))) > 0, f"zero grad for {k}"
