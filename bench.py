@@ -30,6 +30,8 @@ def main():
     from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
     from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
 
+    from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+
     code = get_code("wman_n576_r34_z24")
     graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
     decoder = BoostedNeuralDecoder(
@@ -43,16 +45,22 @@ def main():
     )
     params = decoder.init_params()
 
-    decode = jax.jit(lambda p, x: decoder.apply(p, x)[-1])
+    # fused Pallas kernel (messages VMEM-resident across iterations); falls
+    # back to the XLA flat path off-TPU
+    if jax.default_backend() != "cpu":
+        fused = FusedMinsumDecoder.from_decoder(decoder, params)
+        decode = jax.jit(lambda p, x: fused(x))
+    else:
+        decode = jax.jit(lambda p, x: decoder.apply(p, x)[-1])
 
     rng = np.random.default_rng(0)
     best = 0.0
     best_batch = 0
-    for batch in (1024, 4096, 16384, 65536):
+    for batch in (16384, 65536, 262144, 524288):
         x = jnp.asarray(rng.normal(size=(batch, code.N, code.Z)).astype(np.float32) * 4)
         out = decode(params, x)
         jax.block_until_ready(out)  # compile + warmup
-        reps = max(1, int(2_000_000 / batch))
+        reps = max(1, int(4_000_000 / batch))
         reps = min(reps, 50)
         t0 = time.perf_counter()
         for _ in range(reps):

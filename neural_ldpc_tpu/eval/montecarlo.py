@@ -33,6 +33,11 @@ class CampaignConfig:
     seed: int = 2042
     checkpoint_dir: Optional[str] = None
     checkpoint_every_batches: int = 200
+    # decode engine: "xla" = decoder.apply (per-iteration BER/FER stats);
+    # "fused" = the fused Pallas kernel (final-iteration stats only, ~5x
+    # faster on TPU, ops/pallas/minsum.py); "auto" = fused when the decoder
+    # is eligible (MS/QMS, no UCN) and a TPU is present, else xla.
+    engine: str = "auto"
 
 
 class MonteCarloCampaign:
@@ -57,16 +62,56 @@ class MonteCarloCampaign:
         self.cfg = config
         self.mesh = mesh
         self.n_iters = decoder.config.n_iterations
+        self.fused = self._resolve_engine() == "fused"
         S = len(channel.sigma)
+        n_cols = 1 if self.fused else self.n_iters
         self.key = jax.random.PRNGKey(config.seed)
         self.words = np.zeros(S, np.int64)
-        self.bit_errors = np.zeros((S, self.n_iters), np.float64)
-        self.frame_errors = np.zeros((S, self.n_iters), np.float64)
+        self.bit_errors = np.zeros((S, n_cols), np.float64)
+        self.frame_errors = np.zeros((S, n_cols), np.float64)
         self._step = self._build_step()
+
+    def _fused_eligible(self) -> bool:
+        from ..ops.pallas.minsum import _supported
+        from ..structs import DecoderType, SharingMode
+
+        cfg = self.decoder.config
+        return (
+            cfg.decoder_type != DecoderType.SP
+            and cfg.sharing.ucn == SharingMode.NONE
+            and _supported(self.decoder.graph)
+            and self.mesh is None
+        )
+
+    def _resolve_engine(self) -> str:
+        if self.cfg.engine == "xla":
+            return "xla"
+        if self.cfg.engine == "fused":
+            if not self._fused_eligible():
+                raise ValueError("decoder/config not eligible for the fused kernel")
+            return "fused"
+        on_accelerator = jax.default_backend() != "cpu"
+        return "fused" if on_accelerator and self._fused_eligible() else "xla"
 
     def _build_step(self):
         convention = self.decoder.config.convention
         channel, decoder, cfg = self.channel, self.decoder, self.cfg
+
+        if self.fused:
+            from ..ops.pallas.minsum import FusedMinsumDecoder
+
+            fused = FusedMinsumDecoder.from_decoder(
+                decoder, self.params, interpret=jax.default_backend() == "cpu"
+            )
+
+            def fused_step(key, sigma):
+                llr, bits = channel.sample(
+                    key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
+                )
+                out = fused(llr)  # [B, N*Z] final-iteration APP
+                return count_errors(bits, out[None], convention)
+
+            return jax.jit(fused_step)
 
         def step(params, key, sigma):
             llr, bits = channel.sample(
@@ -77,8 +122,10 @@ class MonteCarloCampaign:
 
         if self.mesh is not None:
             repl = meshlib.replicated_sharding(self.mesh)
-            return jax.jit(step, in_shardings=(repl, None, None))
-        return jax.jit(step)
+            step = jax.jit(step, in_shardings=(repl, None, None))
+        else:
+            step = jax.jit(step)
+        return lambda key, sigma: step(self.params, key, sigma)
 
     def run(self, verbose: bool = True):
         cfg = self.cfg
@@ -89,7 +136,7 @@ class MonteCarloCampaign:
                 if cfg.min_frame_errors and self.frame_errors[s, -1] >= cfg.min_frame_errors:
                     break
                 self.key, sub = jax.random.split(self.key)
-                counts = self._step(self.params, sub, jnp.float32(sigma))
+                counts = self._step(sub, jnp.float32(sigma))
                 self.words[s] += cfg.batch_size
                 self.bit_errors[s] += np.asarray(counts.bit_errors, np.float64)
                 self.frame_errors[s] += np.asarray(counts.frame_errors, np.float64)
@@ -114,6 +161,7 @@ class MonteCarloCampaign:
                 "words": int(self.words[s]),
                 "ber": (self.bit_errors[s] / (w * nz)).tolist(),
                 "fer": (self.frame_errors[s] / w).tolist(),
+                "final_iter_only": self.fused,
             }
         return out
 
@@ -136,3 +184,4 @@ class MonteCarloCampaign:
         self.words = extras["words"].astype(np.int64)
         self.bit_errors = extras["bit_errors"]
         self.frame_errors = extras["frame_errors"]
+        self._step = self._build_step()  # rebake params (fused path captures them)

@@ -1,0 +1,3 @@
+"""Pallas TPU kernels — the native compute tier (fused BP decode)."""
+
+from .minsum import FusedMinsumDecoder

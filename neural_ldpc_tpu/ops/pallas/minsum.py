@@ -1,0 +1,296 @@
+"""Fused Pallas TPU kernel: full multi-iteration (weighted/quantized) min-sum
+BP decode with messages resident in VMEM.
+
+The XLA paths (ops/flat.py, ops/bp.py) materialize every [B, E*Z] message
+tensor in HBM once per iteration, so decode throughput is HBM-bound.  This
+kernel keeps the entire message state of a batch tile on-chip for all
+iterations: HBM traffic collapses to one read of the channel LLRs and one
+write of the final APP per word, everything else lives in VMEM.
+
+Layout (per grid step = one batch tile of ``bt`` words):
+  * messages   [E*Z, bt] f32 — flat edge index q = e*Z + z on *sublanes*
+    (z = the check copy's lifted index), batch on lanes.  CN-order edge
+    enumeration makes every check's messages a contiguous sublane range, and
+    Z % 8 == 0 makes each edge's Z-block whole vregs — so the check-node
+    reduction is a static reshape [deg*Z, bt] -> [deg, Z, bt] plus
+    prefix/suffix min/sign scans over the leading (free) axis, all VPU.
+  * routing    Rt [E*Z, N*Z] / R [N*Z, E*Z] one-hot operands (see
+    ops/flat.py: the protograph lifting roll is absorbed into them), applied
+    on the MXU.  bf16 storage by default — the operands are exactly 0/1, so
+    the only rounding is on the message side of the product.
+  * weights    [I, E*Z, 1] / [I, N*Z, 1] f32, dynamically indexed by the
+    ``fori_loop`` iteration counter.
+
+Supports the neural min-sum family end to end: per-iteration CN edge weights
+(any sharing mode — they arrive pre-expanded), VN input weights, QMS
+fake-quantization of channel/messages, and LLR clipping.  SP and UCN remain
+on the XLA flat path.  Forward-only (Monte-Carlo eval / benchmark); training
+differentiates the XLA paths.
+
+Reference semantics being replaced: the [B, Z, E, E] dense tile of
+src/boosted_neural_ldpc_decoder/BoostedNeuralLDPCDecoder.py:376-429.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...codes.tanner import TannerGraph
+from ..quantize import _QMS_TABLE
+
+_BIG = 10000.0
+
+
+def _supported(graph: TannerGraph) -> bool:
+    return graph.Z % 8 == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class _Meta:
+    """Static kernel metadata (hashable, closed over by the kernel)."""
+
+    M: int
+    N: int
+    Z: int
+    E: int
+    row_ptr: tuple[int, ...]
+    n_iterations: int
+    clip_lo: float
+    clip_hi: float
+    qms_qbit: Optional[int]
+    has_cn_w: bool
+    has_vn_w: bool
+
+
+def _quantize(x, qbit):
+    lo, hi, scale = _QMS_TABLE[qbit]
+    return jnp.clip(jnp.round(x * scale) / scale, lo, hi)
+
+
+def _clip_or_quant(x, meta: _Meta):
+    if meta.qms_qbit is not None:
+        return _quantize(x, meta.qms_qbit)
+    return jnp.clip(x, meta.clip_lo, meta.clip_hi)
+
+
+def _cn_update_segments(v2c, meta: _Meta):
+    """Extrinsic min-sum per check via static sublane-range segments.
+
+    v2c: [E*Z, bt] value.  Returns c2v of the same shape.  Per check of
+    degree d the two-min is computed with prefix/suffix mins over the d
+    Z-blocks; the sign with a total product times own sign.
+    """
+    Z = meta.Z
+    outs = []
+    for m in range(meta.M):
+        a, b = meta.row_ptr[m], meta.row_ptr[m + 1]
+        deg = b - a
+        seg = v2c[a * Z : b * Z, :].reshape(deg, Z, v2c.shape[1])
+        mag = jnp.abs(seg)
+        sgn = jnp.where(seg >= 0, 1.0, -1.0)
+
+        # prefix/suffix mins over the deg axis (static unroll, deg <= ~26)
+        pre = [None] * deg
+        suf = [None] * deg
+        acc = jnp.full_like(mag[0], _BIG)
+        for j in range(deg):
+            pre[j] = acc
+            acc = jnp.minimum(acc, mag[j])
+        acc = jnp.full_like(mag[0], _BIG)
+        for j in reversed(range(deg)):
+            suf[j] = acc
+            acc = jnp.minimum(acc, mag[j])
+
+        total_sign = sgn[0]
+        for j in range(1, deg):
+            total_sign = total_sign * sgn[j]
+
+        rows = []
+        for j in range(deg):
+            extr_min = jnp.minimum(pre[j], suf[j])
+            extr_sgn = total_sign * sgn[j]  # product excluding self (sgn^2=1)
+            rows.append(extr_min * extr_sgn)
+        outs.append(jnp.stack(rows).reshape(deg * Z, v2c.shape[1]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_ref,
+            out_ref, msg_scr, sums_scr):
+    """One batch tile, all iterations.
+
+    chan_ref [NZ, bt] f32; rt_ref [EZ, NZ]; r_ref [NZ, EZ]; cnw_ref
+    [I, EZ, 1]; vnw_ref [I, NZ, 1]; out_ref [NZ, bt]; scratch: msg [EZ, bt],
+    sums [NZ, bt].
+    """
+    chan = chan_ref[:]
+    chan_out = _quantize(chan, meta.qms_qbit) if meta.qms_qbit is not None else chan
+
+    msg_scr[:] = jnp.zeros_like(msg_scr)
+    sums_scr[:] = jnp.zeros_like(sums_scr)
+
+    def body(i, _):
+        xa = chan * vnw_ref[i] if meta.has_vn_w else chan
+        if meta.qms_qbit is not None:
+            xa = _quantize(xa, meta.qms_qbit)
+        x = (xa + sums_scr[:]).astype(routing_dtype)
+        v2c = (
+            jnp.dot(rt_ref[:], x, preferred_element_type=jnp.float32) - msg_scr[:]
+        )
+        v2c = _clip_or_quant(v2c, meta)
+
+        c2v = _cn_update_segments(v2c, meta)
+
+        w_mag = jnp.abs(c2v)
+        if meta.has_cn_w:
+            w_mag = w_mag * cnw_ref[i]
+        w_mag = jnp.maximum(w_mag, 0.0)
+        w_mag = _clip_or_quant(w_mag, meta)
+        new_msg = w_mag * jnp.sign(c2v)
+
+        msg_scr[:] = new_msg
+        sums_scr[:] = jnp.dot(
+            r_ref[:], new_msg.astype(routing_dtype), preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, meta.n_iterations, body, 0)
+    out_ref[:] = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "bt", "routing_dtype", "interpret"),
+)
+def _run(chan_nzb, rt, r, cn_w, vn_w, meta: _Meta, bt: int, routing_dtype, interpret):
+    NZ, B = chan_nzb.shape
+    EZ = meta.E * meta.Z
+    I = meta.n_iterations
+    grid = (B // bt,)
+    kernel = functools.partial(_kernel, meta, routing_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NZ, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EZ, NZ), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZ, EZ), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, EZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, NZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NZ, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NZ, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((EZ, bt), jnp.float32),
+            pltpu.VMEM((NZ, bt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chan_nzb, rt, r, cn_w, vn_w)
+
+
+class FusedMinsumDecoder:
+    """Host-side wrapper: builds routing operands once, handles batch
+    padding/transposition, and dispatches the fused kernel.
+
+    Produces the *final-iteration* APP [B, N*Z] — the Monte-Carlo / benchmark
+    hot path.  Per-iteration outputs (needed for training losses and the
+    per-iteration BER table) come from the XLA paths.
+    """
+
+    def __init__(
+        self,
+        graph: TannerGraph,
+        n_iterations: int,
+        clip: tuple[float, float] = (-20.0, 20.0),
+        qms_qbit: Optional[int] = None,
+        cn_weights: Optional[np.ndarray] = None,  # [I, E]
+        vn_weights: Optional[np.ndarray] = None,  # [I, N]
+        bt: Optional[int] = None,  # batch tile (lanes); None = auto by VMEM fit
+        routing_dtype=jnp.bfloat16,
+        interpret: bool = False,
+    ):
+        if not _supported(graph):
+            raise ValueError(f"fused kernel needs Z % 8 == 0, got Z={graph.Z}")
+        if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
+            raise ValueError(f"unsupported qms_qbit {qms_qbit}")
+        self.graph = graph
+        if bt is None:
+            # rough VMEM budget: both routing operands + ~3 EZ-sized and ~4
+            # NZ-sized f32 tile buffers; v5e fits ~18 MB in practice
+            EZ_, NZ_ = graph.E * graph.Z, graph.N * graph.Z
+            routing_bytes = 2 * EZ_ * NZ_ * jnp.dtype(routing_dtype).itemsize
+            bt = 128
+            if routing_bytes + (3 * EZ_ + 4 * NZ_) * 256 * 4 < 18 * 1024 * 1024:
+                bt = 256
+        self.bt = bt
+        self.routing_dtype = routing_dtype
+        self.interpret = interpret
+        self.meta = _Meta(
+            M=graph.M, N=graph.N, Z=graph.Z, E=graph.E,
+            row_ptr=tuple(int(x) for x in graph.row_ptr),
+            n_iterations=n_iterations,
+            clip_lo=float(clip[0]), clip_hi=float(clip[1]),
+            qms_qbit=qms_qbit,
+            has_cn_w=cn_weights is not None,
+            has_vn_w=vn_weights is not None,
+        )
+
+        from ..flat import FlatGraphArrays
+
+        R = np.asarray(FlatGraphArrays.from_graph(graph, cn_reduce="gather").R)
+        self._r = jnp.asarray(R, routing_dtype)
+        self._rt = jnp.asarray(np.ascontiguousarray(R.T), routing_dtype)
+
+        I, EZ, NZ = n_iterations, graph.E * graph.Z, graph.N * graph.Z
+        if cn_weights is not None:
+            cw = np.repeat(np.asarray(cn_weights, np.float32), graph.Z, axis=1)
+            self._cn_w = jnp.asarray(cw.reshape(I, EZ, 1))
+        else:
+            self._cn_w = jnp.ones((I, EZ, 1), jnp.float32)
+        if vn_weights is not None:
+            vw = np.repeat(np.asarray(vn_weights, np.float32), graph.Z, axis=1)
+            self._vn_w = jnp.asarray(vw.reshape(I, NZ, 1))
+        else:
+            self._vn_w = jnp.ones((I, NZ, 1), jnp.float32)
+
+    @staticmethod
+    def from_decoder(decoder, params, **kw) -> "FusedMinsumDecoder":
+        """Build from a BoostedNeuralDecoder + trained params (MS/QMS, no UCN)."""
+        from ...structs import DecoderType, SharingMode
+
+        cfg = decoder.config
+        if cfg.decoder_type == DecoderType.SP:
+            raise ValueError("fused kernel is min-sum only; SP uses the flat path")
+        if cfg.sharing.ucn != SharingMode.NONE:
+            raise ValueError("UCN weighting is not fused; use the flat path")
+        cn_w, _, vn_w = decoder._expanded_weights(params)
+        return FusedMinsumDecoder(
+            decoder.graph,
+            n_iterations=cfg.n_iterations,
+            clip=(cfg.allowed_llr_range.start, cfg.allowed_llr_range.end),
+            qms_qbit=cfg.qms_qbit if cfg.decoder_type == DecoderType.QMS else None,
+            cn_weights=None if cn_w is None else np.asarray(cn_w),
+            vn_weights=None if vn_w is None else np.asarray(vn_w),
+            **kw,
+        )
+
+    def __call__(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
+        """chan_llr [B, N, Z] (or [B, N*Z]) -> final APP [B, N*Z]."""
+        g = self.graph
+        B = chan_llr.shape[0]
+        x = chan_llr.reshape(B, g.N * g.Z).astype(jnp.float32)
+        pad = (-B) % self.bt
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+        out = _run(
+            x.T, self._rt, self._r, self._cn_w, self._vn_w,
+            self.meta, self.bt, self.routing_dtype, self.interpret,
+        )
+        return out.T[:B]

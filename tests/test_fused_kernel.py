@@ -1,0 +1,133 @@
+"""Fused Pallas min-sum kernel: differential tests against the XLA flat path
+(interpret mode on CPU — exact f32 arithmetic, no MXU rounding)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+
+
+def _build(code_name, **cfg_kw):
+    code = get_code(code_name)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g, BoostedDecoderConfig(matmul_precision="highest", **cfg_kw)
+    )
+    return code, g, dec
+
+
+@pytest.mark.parametrize(
+    "code_name,decoder_type,sharing",
+    [
+        ("wman_n576_r34_z24", DecoderType.MS, dict(cn=3, ucn=0, vn=0)),
+        ("wman_n576_r34_z24", DecoderType.QMS, dict(cn=2, ucn=0, vn=3)),
+        ("nr_bg2_set0_z16", DecoderType.MS, dict(cn=1, ucn=0, vn=2)),
+        ("nr_bg2_set0_z16", DecoderType.QMS, dict(cn=3, ucn=0, vn=3)),
+    ],
+)
+def test_fused_matches_flat(code_name, decoder_type, sharing):
+    code, g, dec = _build(
+        code_name,
+        n_iterations=4,
+        decoder_type=decoder_type,
+        qms_qbit=5,
+        sharing=NodeWeightSharingConfig(**sharing),
+    )
+    rng = np.random.default_rng(0)
+    params = dec.init_params()
+    params = {
+        k: v * (1 + 0.2 * jnp.asarray(rng.normal(size=v.shape).astype(np.float32)))
+        for k, v in params.items()
+    }
+    x = jnp.asarray(rng.normal(size=(5, code.N, code.Z)).astype(np.float32) * 4)
+    fused = FusedMinsumDecoder.from_decoder(
+        dec, params, routing_dtype=jnp.float32, interpret=True, bt=8
+    )
+    ref = np.asarray(dec.apply(params, x)[-1])
+    out = np.asarray(fused(x))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_fused_batch_padding():
+    """Batches that are not a multiple of the tile must round-trip unchanged."""
+    code, g, dec = _build(
+        "wman_n576_r34_z24",
+        n_iterations=3,
+        decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+    )
+    params = dec.init_params()
+    fused = FusedMinsumDecoder.from_decoder(
+        dec, params, routing_dtype=jnp.float32, interpret=True, bt=8
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(11, code.N, code.Z)).astype(np.float32) * 4)
+    out = fused(x)
+    assert out.shape == (11, code.n_bits)
+    # first 8 words (one full tile) must equal the same words decoded alone
+    np.testing.assert_allclose(
+        np.asarray(fused(x[:8])), np.asarray(out[:8]), atol=1e-6
+    )
+
+
+def test_fused_rejects_unsupported():
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3,
+            decoder_type=DecoderType.SP,
+            sharing=NodeWeightSharingConfig(cn=1, ucn=0, vn=0),
+        ),
+    )
+    with pytest.raises(ValueError, match="min-sum only"):
+        FusedMinsumDecoder.from_decoder(dec, dec.init_params())
+    dec_ucn = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3,
+            decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=3, vn=0),
+        ),
+    )
+    with pytest.raises(ValueError, match="UCN"):
+        FusedMinsumDecoder.from_decoder(dec_ucn, dec_ucn.init_params())
+
+
+def test_montecarlo_fused_engine_matches_xla():
+    """Same campaign via the fused engine (interpret mode) and the XLA engine
+    must produce statistically identical final-iteration counts (identical
+    words: same keys, same channel)."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3,
+            decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+            matmul_precision="highest",
+        ),
+    )
+    params = dec.init_params()
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(4.0,)))
+    kw = dict(batch_size=64, max_words_per_snr=128, min_frame_errors=0, seed=9)
+    mc_x = MonteCarloCampaign(dec, params, channel, CampaignConfig(engine="xla", **kw))
+    rx = mc_x.run(verbose=False)[4.0]
+    mc_f = MonteCarloCampaign(dec, params, channel, CampaignConfig(engine="fused", **kw))
+    assert mc_f.fused
+    rf = mc_f.run(verbose=False)[4.0]
+    assert rf["final_iter_only"]
+    assert rf["words"] == rx["words"]
+    # final-iteration BER identical up to f32 noise at decision boundaries
+    assert abs(rf["ber"][-1] - rx["ber"][-1]) < 1e-4
+    assert abs(rf["fer"][-1] - rx["fer"][-1]) < 1e-3
