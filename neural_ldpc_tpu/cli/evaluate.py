@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--max-words", type=int)
     p.add_argument("--min-frame-errors", type=int)
     p.add_argument("--mesh-devices", type=int)
+    p.add_argument("--engine", choices=("auto", "fused", "xla"), default="auto",
+                   help="decode engine: fused Pallas kernel (final-iter stats) or XLA")
     p.add_argument("--state-dir", help="campaign checkpoint dir (restartable)")
     p.add_argument("--resume", action="store_true", help="resume campaign state from --state-dir")
     p.add_argument("--out", help="write results JSON here (default stdout)")
@@ -98,6 +100,7 @@ def main(argv=None):
             all_zero=cfg.y_all_zero,
             seed=cfg.seed,
             checkpoint_dir=args.state_dir,
+            engine=args.engine,
         ),
         mesh=mesh,
     )

@@ -62,3 +62,42 @@ def test_dump_config_is_valid_json(capsys):
     out = capsys.readouterr().out
     parsed = json.loads(out)
     assert parsed["code"] == "wman_n576_r34_z24"
+
+
+def test_profiling_harness():
+    """benchmark() separates compile from steady state; Timer accumulates."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.utils.profiling import Timer, benchmark
+
+    @jax.jit
+    def f(x):
+        return (x * 2 + 1).sum()
+
+    res = benchmark(f, jnp.ones((64, 64)), reps=5, items_per_call=64)
+    assert res.reps == 5
+    assert res.best_s <= res.mean_s
+    assert res.items_per_s and res.items_per_s > 0
+    assert "mean" in str(res)
+
+    t = Timer()
+    with t("a"):
+        time.sleep(0.01)
+    with t("a"):
+        pass
+    with t("b"):
+        pass
+    assert t.counts["a"] == 2
+    rep = t.report()
+    assert "a" in rep and "share" in rep
+
+
+def test_profile_cli_runs():
+    from neural_ldpc_tpu.cli.profile import main
+
+    rc = main(["--preset", "wman_ms_plain", "--batch-size", "64",
+               "--train-batch-size", "8", "--reps", "2", "--only", "decode_xla"])
+    assert rc == 0
