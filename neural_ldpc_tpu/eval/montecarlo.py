@@ -80,7 +80,6 @@ class MonteCarloCampaign:
             cfg.decoder_type != DecoderType.SP
             and cfg.sharing.ucn == SharingMode.NONE
             and _supported(self.decoder.graph)
-            and self.mesh is None
         )
 
     def _resolve_engine(self) -> str:
@@ -98,11 +97,38 @@ class MonteCarloCampaign:
         channel, decoder, cfg = self.channel, self.decoder, self.cfg
 
         if self.fused:
+            from jax.sharding import PartitionSpec as P
+
             from ..ops.pallas.minsum import FusedMinsumDecoder
 
             fused = FusedMinsumDecoder.from_decoder(
                 decoder, self.params, interpret=jax.default_backend() == "cpu"
             )
+
+            if self.mesh is not None:
+                n_dev = int(np.prod(self.mesh.devices.shape))
+                if cfg.batch_size % n_dev:
+                    raise ValueError(
+                        f"batch_size {cfg.batch_size} not divisible by "
+                        f"{n_dev} mesh devices"
+                    )
+                per_dev = cfg.batch_size // n_dev
+                axis = self.mesh.axis_names[0]
+
+                def shard_fn(key, sigma):
+                    k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                    llr, bits = channel.sample(
+                        k, per_dev, jnp.full((per_dev,), sigma), cfg.all_zero
+                    )
+                    c = count_errors(bits, fused(llr)[None], convention)
+                    return jax.tree.map(lambda v: jax.lax.psum(v, axis), c)
+
+                return jax.jit(
+                    jax.shard_map(
+                        shard_fn, mesh=self.mesh, in_specs=(P(), P()),
+                        out_specs=P(), check_vma=False,
+                    )
+                )
 
             def fused_step(key, sigma):
                 llr, bits = channel.sample(

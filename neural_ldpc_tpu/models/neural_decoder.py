@@ -12,12 +12,13 @@ ops (ops/bp.py) inside a ``lax.scan``.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..codes.tanner import TannerGraph
-from ..ops import bp
+from ..ops import bp, flat
 from ..structs import Convention
 
 Params = dict[str, jnp.ndarray]
@@ -29,6 +30,9 @@ class NeuralDecoderConfig:
     init_weight: float = 0.5
     init_bias: float = 0.0
     convention: Convention = Convention.STANDARD
+    # same fast-path selection as BoostedDecoderConfig (see ops/flat.py)
+    routing: str = "auto"
+    matmul_precision: Optional[str] = None
 
 
 class NeuralMinSumDecoder:
@@ -36,6 +40,14 @@ class NeuralMinSumDecoder:
         self.graph = graph
         self.config = config
         self.ga = bp.GraphArrays.from_graph(graph)
+        if config.routing not in ("auto", "flat", "edge"):
+            raise ValueError(f"unknown routing {config.routing!r}")
+        if config.routing == "flat" and config.convention == Convention.REFERENCE:
+            raise ValueError("flat routing implements the STANDARD convention only")
+        self.use_flat = config.routing == "flat" or (
+            config.routing == "auto" and config.convention == Convention.STANDARD
+        )
+        self.fa = flat.FlatGraphArrays.from_graph(graph) if self.use_flat else None
 
     def init_params(self) -> Params:
         I, E = self.config.n_iterations, self.graph.E
@@ -47,6 +59,8 @@ class NeuralMinSumDecoder:
     def apply(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
         """chan_llr: [B, N, Z] -> per-iteration APP outputs [I, B, N*Z]
         (reference forward :44-100 returns the same as a list)."""
+        if self.use_flat:
+            return self._apply_flat(params, chan_llr)
         ga = self.ga
         parity = self.config.convention == Convention.REFERENCE
         B = chan_llr.shape[0]
@@ -73,6 +87,34 @@ class NeuralMinSumDecoder:
 
         (_, _), outs = jax.lax.scan(body, (msg0, sums0), (params["weights_var"], params["biases_var"]))
         return jnp.swapaxes(outs, 2, 3).reshape(self.config.n_iterations, B, ga.N * ga.Z)
+
+    def _apply_flat(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
+        """TPU fast path on the flat [B, E*Z] layout (ops/flat.py), STANDARD
+        convention semantics of the edge path above."""
+        fa = self.fa
+        prec = self.config.matmul_precision
+        B = chan_llr.shape[0]
+        chan = chan_llr.astype(jnp.float32).reshape(B, fa.N * fa.Z)
+
+        msg0 = jnp.zeros((B, fa.E * fa.Z), jnp.float32)
+        sums0 = jnp.zeros((B, fa.N * fa.Z), jnp.float32)
+
+        def body(carry, wb):
+            msg, vn_sums = carry
+            w, b = wb
+            v2c = flat.route_to_edges(chan + vn_sums, fa, precision=prec) - msg
+            c2v = flat.cn_minsum_flat(v2c, fa, precision=prec)
+            w_f = fa.edge_weights_to_flat(w)[None]
+            b_f = fa.edge_weights_to_flat(b)[None]
+            w_mag = jnp.maximum(jnp.abs(c2v) * w_f + b_f, 0.0)
+            msg_new = w_mag * jnp.sign(c2v)
+            sums_new = flat.route_to_vns(msg_new, fa, precision=prec)
+            return (msg_new, sums_new), chan + sums_new
+
+        (_, _), outs = jax.lax.scan(
+            body, (msg0, sums0), (params["weights_var"], params["biases_var"])
+        )
+        return outs  # [I, B, N*Z]
 
     def __call__(self, params: Params, chan_llr: jnp.ndarray) -> jnp.ndarray:
         return self.apply(params, chan_llr)

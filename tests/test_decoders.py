@@ -317,3 +317,22 @@ def test_flat_routing_is_differentiable():
     for k, v in grads.items():
         assert np.all(np.isfinite(np.asarray(v))), k
         assert float(jnp.max(jnp.abs(v))) > 0, f"zero grad for {k}"
+
+
+def test_neural_decoder_flat_matches_edge():
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    rng = np.random.default_rng(5)
+    kw = dict(n_iterations=6, convention=Convention.STANDARD)
+    edge = NeuralMinSumDecoder(g, NeuralDecoderConfig(routing="edge", **kw))
+    flat_ = NeuralMinSumDecoder(
+        g, NeuralDecoderConfig(routing="flat", matmul_precision="highest", **kw)
+    )
+    params = {
+        "weights_var": jnp.asarray(rng.uniform(0.2, 1.2, size=(6, g.E)).astype(np.float32)),
+        "biases_var": jnp.asarray(rng.uniform(-0.2, 0.2, size=(6, g.E)).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(size=(4, code.N, code.Z)).astype(np.float32) * 3)
+    np.testing.assert_allclose(
+        np.asarray(flat_.apply(params, x)), np.asarray(edge.apply(params, x)), atol=2e-4
+    )

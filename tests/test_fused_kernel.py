@@ -131,3 +131,36 @@ def test_montecarlo_fused_engine_matches_xla():
     # final-iteration BER identical up to f32 noise at decision boundaries
     assert abs(rf["ber"][-1] - rx["ber"][-1]) < 1e-4
     assert abs(rf["fer"][-1] - rx["fer"][-1]) < 1e-3
+
+
+def test_montecarlo_fused_mesh():
+    """Fused engine under a shard_map over the 8-device CPU mesh: counts are
+    psum-reduced across shards and totals must equal the requested words."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+    from neural_ldpc_tpu.parallel import make_mesh
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3,
+            decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        ),
+    )
+    params = dec.init_params()
+    # low SNR so errors definitely occur and the psum has something to add
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(0.0,)))
+    mc = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(batch_size=64, max_words_per_snr=128,
+                       min_frame_errors=0, seed=3, engine="fused"),
+        mesh=make_mesh(8),
+    )
+    assert mc.fused
+    r = mc.run(verbose=False)[0.0]
+    assert r["words"] == 128
+    assert r["ber"][-1] > 0  # 0 dB: plain MS cannot clean everything
+    assert 0 < r["fer"][-1] <= 1
