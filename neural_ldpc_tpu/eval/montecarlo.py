@@ -130,14 +130,20 @@ class MonteCarloCampaign:
                     )
                 )
 
+            count = jax.jit(partial(count_errors, convention=convention))
+
             def fused_step(key, sigma):
+                # composed from separately-jitted stages on purpose: inlining
+                # the pallas_call into one outer jit lets XLA try to pin the
+                # kernel's whole [NZ, B] output in VMEM (scoped-vmem OOM on
+                # mid-sized batches); at a jit boundary it stays in HBM
                 llr, bits = channel.sample(
                     key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
                 )
                 out = fused(llr)  # [B, N*Z] final-iteration APP
-                return count_errors(bits, out[None], convention)
+                return count(bits, out[None])
 
-            return jax.jit(fused_step)
+            return fused_step
 
         def step(params, key, sigma):
             llr, bits = channel.sample(
