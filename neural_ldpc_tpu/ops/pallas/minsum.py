@@ -68,6 +68,7 @@ class _Meta:
     qms_qbit: Optional[int]
     has_cn_w: bool
     has_vn_w: bool
+    int8_routing: bool = False
 
 
 def _quantize(x, qbit):
@@ -136,15 +137,31 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
     msg_scr[:] = jnp.zeros_like(msg_scr)
     sums_scr[:] = jnp.zeros_like(sums_scr)
 
+    if meta.int8_routing:
+        # QMS messages live on a 1/scale grid within +-clip_hi, so both
+        # matmuls can be exact int8 MXU work (2x bf16 throughput).  The VN
+        # total is clipped to +-2*clip_hi first: for |T| beyond that,
+        # quantize(T - m) saturates to +-clip_hi for every message m anyway,
+        # so the clip is semantics-preserving and keeps the scaled operand in
+        # int8 range (max 2 * 15 * scale-normalised = +-30).
+        _, q_hi, q_scale = _QMS_TABLE[meta.qms_qbit]
+        t_clip = 2.0 * q_hi
+
     def body(i, _):
         xa = chan * vnw_ref[i] if meta.has_vn_w else chan
         if meta.qms_qbit is not None:
             xa = _quantize(xa, meta.qms_qbit)
-        x = (xa + sums_scr[:]).astype(routing_dtype)
-        v2c = (
-            jnp.dot(rt_ref[:], x, preferred_element_type=jnp.float32) - msg_scr[:]
-        )
-        v2c = _clip_or_quant(v2c, meta)
+        if meta.int8_routing:
+            x8 = jnp.round(
+                jnp.clip(xa + sums_scr[:], -t_clip, t_clip) * q_scale
+            ).astype(jnp.int8)
+            routed = jnp.dot(
+                rt_ref[:], x8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (1.0 / q_scale)
+        else:
+            x = (xa + sums_scr[:]).astype(routing_dtype)
+            routed = jnp.dot(rt_ref[:], x, preferred_element_type=jnp.float32)
+        v2c = _clip_or_quant(routed - msg_scr[:], meta)
 
         c2v = _cn_update_segments(v2c, meta)
 
@@ -156,9 +173,16 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
         new_msg = w_mag * jnp.sign(c2v)
 
         msg_scr[:] = new_msg
-        sums_scr[:] = jnp.dot(
-            r_ref[:], new_msg.astype(routing_dtype), preferred_element_type=jnp.float32
-        )
+        if meta.int8_routing:
+            m8 = jnp.round(new_msg * q_scale).astype(jnp.int8)
+            sums_scr[:] = jnp.dot(
+                r_ref[:], m8, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (1.0 / q_scale)
+        else:
+            sums_scr[:] = jnp.dot(
+                r_ref[:], new_msg.astype(routing_dtype),
+                preferred_element_type=jnp.float32,
+            )
         return 0
 
     jax.lax.fori_loop(0, meta.n_iterations, body, 0)
@@ -218,6 +242,7 @@ class FusedMinsumDecoder:
         vn_weights: Optional[np.ndarray] = None,  # [I, N]
         bt: Optional[int] = None,  # batch tile (lanes); None = auto by VMEM fit
         routing_dtype=jnp.bfloat16,
+        int8_routing: Optional[bool] = None,  # None = auto: on for QMS
         interpret: bool = False,
     ):
         if not _supported(graph):
@@ -232,6 +257,10 @@ class FusedMinsumDecoder:
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret
+        if int8_routing is None:
+            int8_routing = qms_qbit is not None
+        if int8_routing and qms_qbit is None:
+            raise ValueError("int8 routing needs QMS quantization (grid messages)")
         self.meta = _Meta(
             M=graph.M, N=graph.N, Z=graph.Z, E=graph.E,
             row_ptr=tuple(int(x) for x in graph.row_ptr),
@@ -240,13 +269,15 @@ class FusedMinsumDecoder:
             qms_qbit=qms_qbit,
             has_cn_w=cn_weights is not None,
             has_vn_w=vn_weights is not None,
+            int8_routing=int8_routing,
         )
 
         from ..flat import FlatGraphArrays
 
+        operand_dtype = jnp.int8 if int8_routing else routing_dtype
         R = np.asarray(FlatGraphArrays.from_graph(graph, cn_reduce="gather").R)
-        self._r = jnp.asarray(R, routing_dtype)
-        self._rt = jnp.asarray(np.ascontiguousarray(R.T), routing_dtype)
+        self._r = jnp.asarray(R, operand_dtype)
+        self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
 
         I, EZ, NZ = n_iterations, graph.E * graph.Z, graph.N * graph.Z
         if cn_weights is not None:
