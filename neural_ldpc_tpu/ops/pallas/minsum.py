@@ -69,6 +69,7 @@ class _Meta:
     has_cn_w: bool
     has_vn_w: bool
     int8_routing: bool = False
+    has_ucn: bool = False
 
 
 def _quantize(x, qbit):
@@ -123,13 +124,39 @@ def _cn_update_segments(v2c, meta: _Meta):
     return jnp.concatenate(outs, axis=0)
 
 
+def _ucn_mask_segments(sign_e, meta: _Meta):
+    """Per-edge unsatisfied-check indicator from routed decision signs.
+
+    sign_e: [E*Z, bt], +-1 per edge (the routed hard decision of the edge's
+    VN copy).  Per lifted check: product of signs over ALL of its edges
+    (self included) — odd parity (-1) marks the check unsatisfied; the
+    indicator broadcasts to its edges (reference BoostedNeuralLDPCDecoder.py:
+    339-368; ops/flat.check_parity_flat is the XLA counterpart)."""
+    Z = meta.Z
+    outs = []
+    for m in range(meta.M):
+        a, b = meta.row_ptr[m], meta.row_ptr[m + 1]
+        deg = b - a
+        seg = sign_e[a * Z : b * Z, :].reshape(deg, Z, sign_e.shape[1])
+        parity = seg[0]
+        for j in range(1, deg):
+            parity = parity * seg[j]
+        ucn = jnp.where(parity < 0, 1.0, 0.0)
+        outs.append(
+            jnp.broadcast_to(ucn[None], (deg,) + ucn.shape).reshape(
+                deg * Z, sign_e.shape[1]
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
 def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_ref,
-            out_ref, msg_scr, sums_scr):
+            ucnw_ref, out_ref, msg_scr, sums_scr):
     """One batch tile, all iterations.
 
     chan_ref [NZ, bt] f32; rt_ref [EZ, NZ]; r_ref [NZ, EZ]; cnw_ref
-    [I, EZ, 1]; vnw_ref [I, NZ, 1]; out_ref [NZ, bt]; scratch: msg [EZ, bt],
-    sums [NZ, bt].
+    [I, EZ, 1]; vnw_ref [I, NZ, 1]; ucnw_ref [I, EZ, 1]; out_ref [NZ, bt];
+    scratch: msg [EZ, bt], sums [NZ, bt].
     """
     chan = chan_ref[:]
     chan_out = _quantize(chan, meta.qms_qbit) if meta.qms_qbit is not None else chan
@@ -151,6 +178,26 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
         xa = chan * vnw_ref[i] if meta.has_vn_w else chan
         if meta.qms_qbit is not None:
             xa = _quantize(xa, meta.qms_qbit)
+
+        if meta.has_ucn:
+            # UCN detection from the previous iteration's APP (iteration 0
+            # checks the weighted channel itself, reference :339-374)
+            prev_app = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
+            app = jnp.where(i == 0, xa, prev_app)
+            dsign = jnp.where(app < 0, -1.0, 1.0)
+            if meta.int8_routing:
+                s_route = jnp.dot(
+                    rt_ref[:], dsign.astype(jnp.int8),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                s_route = jnp.dot(
+                    rt_ref[:], dsign.astype(routing_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            # one-hot rows: routed value is exactly the +-1 decision sign
+            ucn_mask = _ucn_mask_segments(jnp.where(s_route < 0, -1.0, 1.0), meta)
+
         if meta.int8_routing:
             x8 = jnp.round(
                 jnp.clip(xa + sums_scr[:], -t_clip, t_clip) * q_scale
@@ -166,7 +213,10 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
         c2v = _cn_update_segments(v2c, meta)
 
         w_mag = jnp.abs(c2v)
-        if meta.has_cn_w:
+        if meta.has_ucn:
+            w_mag = w_mag * cnw_ref[i] * (1.0 - ucn_mask) \
+                + w_mag * ucnw_ref[i] * ucn_mask
+        elif meta.has_cn_w:
             w_mag = w_mag * cnw_ref[i]
         w_mag = jnp.maximum(w_mag, 0.0)
         w_mag = _clip_or_quant(w_mag, meta)
@@ -193,7 +243,8 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
     jax.jit,
     static_argnames=("meta", "bt", "routing_dtype", "interpret"),
 )
-def _run(chan_nzb, rt, r, cn_w, vn_w, meta: _Meta, bt: int, routing_dtype, interpret):
+def _run(chan_nzb, rt, r, cn_w, vn_w, ucn_w, meta: _Meta, bt: int, routing_dtype,
+         interpret):
     NZ, B = chan_nzb.shape
     EZ = meta.E * meta.Z
     I = meta.n_iterations
@@ -208,6 +259,7 @@ def _run(chan_nzb, rt, r, cn_w, vn_w, meta: _Meta, bt: int, routing_dtype, inter
             pl.BlockSpec((NZ, EZ), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((I, EZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((I, NZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, EZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((NZ, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NZ, B), jnp.float32),
@@ -220,7 +272,7 @@ def _run(chan_nzb, rt, r, cn_w, vn_w, meta: _Meta, bt: int, routing_dtype, inter
         # legitimately wants more (v5e has 128 MB of physical VMEM)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(chan_nzb, rt, r, cn_w, vn_w)
+    )(chan_nzb, rt, r, cn_w, vn_w, ucn_w)
 
 
 class FusedMinsumDecoder:
@@ -240,6 +292,7 @@ class FusedMinsumDecoder:
         qms_qbit: Optional[int] = None,
         cn_weights: Optional[np.ndarray] = None,  # [I, E]
         vn_weights: Optional[np.ndarray] = None,  # [I, N]
+        ucn_weights: Optional[np.ndarray] = None,  # [I, E]; enables UCN split
         bt: Optional[int] = None,  # batch tile (lanes); None = auto by VMEM fit
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
@@ -252,8 +305,10 @@ class FusedMinsumDecoder:
         self.graph = graph
         if bt is None:
             # measured on v5e (both codes): throughput rises to bt=512 and
-            # flattens; the raised vmem_limit_bytes in _run makes 512 fit
-            bt = 512
+            # flattens; the raised vmem_limit_bytes in _run makes 512 fit.
+            # UCN adds a routed-sign live tensor per iteration — large codes
+            # then need the smaller tile to stay inside scoped VMEM.
+            bt = 256 if (ucn_weights is not None and graph.E * graph.Z > 2500) else 512
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret
@@ -261,6 +316,8 @@ class FusedMinsumDecoder:
             int8_routing = qms_qbit is not None
         if int8_routing and qms_qbit is None:
             raise ValueError("int8 routing needs QMS quantization (grid messages)")
+        if ucn_weights is not None and cn_weights is None:
+            raise ValueError("UCN weighting requires CN weights (reference :433-503)")
         self.meta = _Meta(
             M=graph.M, N=graph.N, Z=graph.Z, E=graph.E,
             row_ptr=tuple(int(x) for x in graph.row_ptr),
@@ -270,6 +327,7 @@ class FusedMinsumDecoder:
             has_cn_w=cn_weights is not None,
             has_vn_w=vn_weights is not None,
             int8_routing=int8_routing,
+            has_ucn=ucn_weights is not None,
         )
 
         from ..flat import FlatGraphArrays
@@ -290,19 +348,25 @@ class FusedMinsumDecoder:
             self._vn_w = jnp.asarray(vw.reshape(I, NZ, 1))
         else:
             self._vn_w = jnp.ones((I, NZ, 1), jnp.float32)
+        if ucn_weights is not None:
+            uw = np.repeat(np.asarray(ucn_weights, np.float32), graph.Z, axis=1)
+            self._ucn_w = jnp.asarray(uw.reshape(I, EZ, 1))
+        else:
+            self._ucn_w = jnp.ones((I, EZ, 1), jnp.float32)
         self._jitted = None
 
     @staticmethod
     def from_decoder(decoder, params, **kw) -> "FusedMinsumDecoder":
-        """Build from a BoostedNeuralDecoder + trained params (MS/QMS, no UCN)."""
+        """Build from a BoostedNeuralDecoder + trained params (MS/QMS incl.
+        UCN weighting; SP stays on the flat path)."""
         from ...structs import DecoderType, SharingMode
 
         cfg = decoder.config
         if cfg.decoder_type == DecoderType.SP:
             raise ValueError("fused kernel is min-sum only; SP uses the flat path")
-        if cfg.sharing.ucn != SharingMode.NONE:
-            raise ValueError("UCN weighting is not fused; use the flat path")
-        cn_w, _, vn_w = decoder._expanded_weights(params)
+        cn_w, ucn_w, vn_w = decoder._expanded_weights(params)
+        if cfg.sharing.ucn == SharingMode.NONE:
+            ucn_w = None
         return FusedMinsumDecoder(
             decoder.graph,
             n_iterations=cfg.n_iterations,
@@ -310,6 +374,7 @@ class FusedMinsumDecoder:
             qms_qbit=cfg.qms_qbit if cfg.decoder_type == DecoderType.QMS else None,
             cn_weights=None if cn_w is None else np.asarray(cn_w),
             vn_weights=None if vn_w is None else np.asarray(vn_w),
+            ucn_weights=None if ucn_w is None else np.asarray(ucn_w),
             **kw,
         )
 
@@ -331,7 +396,7 @@ class FusedMinsumDecoder:
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
         out = _run(
-            x.T, self._rt, self._r, self._cn_w, self._vn_w,
+            x.T, self._rt, self._r, self._cn_w, self._vn_w, self._ucn_w,
             self.meta, self.bt, self.routing_dtype, self.interpret,
         )
         return out.T[:B]

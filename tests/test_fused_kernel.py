@@ -88,16 +88,34 @@ def test_fused_rejects_unsupported():
     )
     with pytest.raises(ValueError, match="min-sum only"):
         FusedMinsumDecoder.from_decoder(dec, dec.init_params())
-    dec_ucn = BoostedNeuralDecoder(
-        g,
-        BoostedDecoderConfig(
-            n_iterations=3,
-            decoder_type=DecoderType.MS,
-            sharing=NodeWeightSharingConfig(cn=3, ucn=3, vn=0),
-        ),
+
+
+@pytest.mark.parametrize("decoder_type", [DecoderType.MS, DecoderType.QMS])
+def test_fused_ucn_matches_flat(decoder_type):
+    """UCN (unsatisfied-check) weighting inside the fused kernel must match
+    the flat path, including the iteration-0 channel-APP special case."""
+    code, g, dec = _build(
+        "wman_n576_r34_z24",
+        n_iterations=4,
+        decoder_type=decoder_type,
+        qms_qbit=5,
+        sharing=NodeWeightSharingConfig(cn=2, ucn=2, vn=3),
     )
-    with pytest.raises(ValueError, match="UCN"):
-        FusedMinsumDecoder.from_decoder(dec_ucn, dec_ucn.init_params())
+    rng = np.random.default_rng(3)
+    params = dec.init_params()
+    params = {
+        k: v * (1 + 0.3 * jnp.asarray(rng.normal(size=v.shape).astype(np.float32)))
+        for k, v in params.items()
+    }
+    assert "weight_ucn" in params
+    # low-ish LLRs so some checks actually come out unsatisfied
+    x = jnp.asarray(rng.normal(size=(6, code.N, code.Z)).astype(np.float32) * 2)
+    fused = FusedMinsumDecoder.from_decoder(
+        dec, params, routing_dtype=jnp.float32, interpret=True, bt=8
+    )
+    assert fused.meta.has_ucn
+    ref = np.asarray(dec.apply(params, x)[-1])
+    np.testing.assert_allclose(np.asarray(fused(x)), ref, atol=1e-4)
 
 
 def test_montecarlo_fused_engine_matches_xla():
