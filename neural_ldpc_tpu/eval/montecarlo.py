@@ -73,10 +73,8 @@ class MonteCarloCampaign:
 
     def _fused_eligible(self) -> bool:
         from ..ops.pallas.minsum import _supported
-        from ..structs import DecoderType
 
-        cfg = self.decoder.config
-        return cfg.decoder_type != DecoderType.SP and _supported(self.decoder.graph)
+        return _supported(self.decoder.graph)
 
     def _resolve_engine(self) -> str:
         if self.cfg.engine == "xla":

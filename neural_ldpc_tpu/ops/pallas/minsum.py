@@ -21,10 +21,11 @@ Layout (per grid step = one batch tile of ``bt`` words):
   * weights    [I, E*Z, 1] / [I, N*Z, 1] f32, dynamically indexed by the
     ``fori_loop`` iteration counter.
 
-Supports the neural min-sum family end to end: per-iteration CN edge weights
-(any sharing mode — they arrive pre-expanded), VN input weights, QMS
-fake-quantization of channel/messages, and LLR clipping.  SP and UCN remain
-on the XLA flat path.  Forward-only (Monte-Carlo eval / benchmark); training
+Supports the full boosted decoder family: SP / MS / QMS check updates,
+per-iteration CN edge weights (any sharing mode — they arrive pre-expanded),
+UCN (unsatisfied-check) weight splits, VN input weights, QMS
+fake-quantization of channel/messages (with exact int8 MXU routing), and LLR
+clipping.  Forward-only (Monte-Carlo eval / benchmark); training
 differentiates the XLA paths.
 
 Reference semantics being replaced: the [B, Z, E, E] dense tile of
@@ -47,6 +48,7 @@ from ...codes.tanner import TannerGraph
 from ..quantize import _QMS_TABLE
 
 _BIG = 10000.0
+_SP_EPS = 1e-7  # atanh clamp (reference BoostedNeuralLDPCDecoder.py:406-408)
 
 
 def _supported(graph: TannerGraph) -> bool:
@@ -70,6 +72,7 @@ class _Meta:
     has_vn_w: bool
     int8_routing: bool = False
     has_ucn: bool = False
+    sum_product: bool = False  # tanh-domain CN update instead of min-sum
 
 
 def _quantize(x, qbit):
@@ -120,6 +123,40 @@ def _cn_update_segments(v2c, meta: _Meta):
             extr_min = jnp.minimum(pre[j], suf[j])
             extr_sgn = total_sign * sgn[j]  # product excluding self (sgn^2=1)
             rows.append(extr_min * extr_sgn)
+        outs.append(jnp.stack(rows).reshape(deg * Z, v2c.shape[1]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _cn_update_segments_sp(v2c, meta: _Meta):
+    """Extrinsic sum-product (tanh domain) check update via static segments.
+
+    Same prefix/suffix structure as the min-sum two-min, with products of
+    tanh(v/2) instead of mins (reference BoostedNeuralLDPCDecoder.py:400-408;
+    ops/flat.cn_sumproduct_flat is the XLA counterpart)."""
+    Z = meta.Z
+    outs = []
+    for m in range(meta.M):
+        a, b = meta.row_ptr[m], meta.row_ptr[m + 1]
+        deg = b - a
+        seg = v2c[a * Z : b * Z, :].reshape(deg, Z, v2c.shape[1])
+        t = jnp.tanh(0.5 * seg)
+
+        pre = [None] * deg
+        suf = [None] * deg
+        acc = jnp.ones_like(t[0])
+        for j in range(deg):
+            pre[j] = acc
+            acc = acc * t[j]
+        acc = jnp.ones_like(t[0])
+        for j in reversed(range(deg)):
+            suf[j] = acc
+            acc = acc * t[j]
+
+        rows = []
+        for j in range(deg):
+            ext = jnp.clip(pre[j] * suf[j], -1.0 + _SP_EPS, 1.0 - _SP_EPS)
+            # Mosaic has no atanh lowering; 2*atanh(x) = log((1+x)/(1-x))
+            rows.append(jnp.log((1.0 + ext) / (1.0 - ext)))
         outs.append(jnp.stack(rows).reshape(deg * Z, v2c.shape[1]))
     return jnp.concatenate(outs, axis=0)
 
@@ -210,7 +247,10 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
             routed = jnp.dot(rt_ref[:], x, preferred_element_type=jnp.float32)
         v2c = _clip_or_quant(routed - msg_scr[:], meta)
 
-        c2v = _cn_update_segments(v2c, meta)
+        if meta.sum_product:
+            c2v = _cn_update_segments_sp(v2c, meta)
+        else:
+            c2v = _cn_update_segments(v2c, meta)
 
         w_mag = jnp.abs(c2v)
         if meta.has_ucn:
@@ -293,6 +333,7 @@ class FusedMinsumDecoder:
         cn_weights: Optional[np.ndarray] = None,  # [I, E]
         vn_weights: Optional[np.ndarray] = None,  # [I, N]
         ucn_weights: Optional[np.ndarray] = None,  # [I, E]; enables UCN split
+        sum_product: bool = False,  # SP (tanh) check update instead of min-sum
         bt: Optional[int] = None,  # batch tile (lanes); None = auto by VMEM fit
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
@@ -318,6 +359,8 @@ class FusedMinsumDecoder:
             raise ValueError("int8 routing needs QMS quantization (grid messages)")
         if ucn_weights is not None and cn_weights is None:
             raise ValueError("UCN weighting requires CN weights (reference :433-503)")
+        if sum_product and qms_qbit is not None:
+            raise ValueError("SP and QMS are mutually exclusive decoder types")
         self.meta = _Meta(
             M=graph.M, N=graph.N, Z=graph.Z, E=graph.E,
             row_ptr=tuple(int(x) for x in graph.row_ptr),
@@ -328,6 +371,7 @@ class FusedMinsumDecoder:
             has_vn_w=vn_weights is not None,
             int8_routing=int8_routing,
             has_ucn=ucn_weights is not None,
+            sum_product=sum_product,
         )
 
         from ..flat import FlatGraphArrays
@@ -357,13 +401,11 @@ class FusedMinsumDecoder:
 
     @staticmethod
     def from_decoder(decoder, params, **kw) -> "FusedMinsumDecoder":
-        """Build from a BoostedNeuralDecoder + trained params (MS/QMS incl.
-        UCN weighting; SP stays on the flat path)."""
+        """Build from a BoostedNeuralDecoder + trained params (SP/MS/QMS,
+        incl. UCN weighting — the full boosted decoder family)."""
         from ...structs import DecoderType, SharingMode
 
         cfg = decoder.config
-        if cfg.decoder_type == DecoderType.SP:
-            raise ValueError("fused kernel is min-sum only; SP uses the flat path")
         cn_w, ucn_w, vn_w = decoder._expanded_weights(params)
         if cfg.sharing.ucn == SharingMode.NONE:
             ucn_w = None
@@ -375,6 +417,7 @@ class FusedMinsumDecoder:
             cn_weights=None if cn_w is None else np.asarray(cn_w),
             vn_weights=None if vn_w is None else np.asarray(vn_w),
             ucn_weights=None if ucn_w is None else np.asarray(ucn_w),
+            sum_product=cfg.decoder_type == DecoderType.SP,
             **kw,
         )
 

@@ -75,19 +75,37 @@ def test_fused_batch_padding():
     )
 
 
-def test_fused_rejects_unsupported():
-    code = get_code("wman_n576_r34_z24")
-    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
-    dec = BoostedNeuralDecoder(
-        g,
-        BoostedDecoderConfig(
-            n_iterations=3,
-            decoder_type=DecoderType.SP,
-            sharing=NodeWeightSharingConfig(cn=1, ucn=0, vn=0),
-        ),
+def test_fused_sp_matches_flat():
+    """Sum-product (tanh-domain) check update inside the fused kernel."""
+    code, g, dec = _build(
+        "wman_n576_r34_z24",
+        n_iterations=4,
+        decoder_type=DecoderType.SP,
+        sharing=NodeWeightSharingConfig(cn=1, ucn=0, vn=2),
     )
-    with pytest.raises(ValueError, match="min-sum only"):
-        FusedMinsumDecoder.from_decoder(dec, dec.init_params())
+    rng = np.random.default_rng(4)
+    params = dec.init_params()
+    params = {
+        k: v * (1 + 0.2 * jnp.asarray(rng.normal(size=v.shape).astype(np.float32)))
+        for k, v in params.items()
+    }
+    x = jnp.asarray(rng.normal(size=(5, code.N, code.Z)).astype(np.float32) * 3)
+    fused = FusedMinsumDecoder.from_decoder(
+        dec, params, routing_dtype=jnp.float32, interpret=True, bt=8
+    )
+    assert fused.meta.sum_product
+    ref = np.asarray(dec.apply(params, x)[-1])
+    # atanh near +-1 amplifies product-order noise; decisions must agree
+    out = np.asarray(fused(x))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    np.testing.assert_array_equal(out < 0, ref < 0)
+
+
+def test_fused_rejects_sp_qms_combo():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        code = get_code("wman_n576_r34_z24")
+        g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+        FusedMinsumDecoder(g, n_iterations=3, qms_qbit=5, sum_product=True)
 
 
 @pytest.mark.parametrize("decoder_type", [DecoderType.MS, DecoderType.QMS])
