@@ -46,11 +46,17 @@ def main():
     params = decoder.init_params()
 
     # fused Pallas kernel (messages VMEM-resident across iterations); falls
-    # back to the XLA flat path off-TPU
+    # back to the XLA flat path off-TPU or if the kernel fails to build/run
+    decode = None
     if jax.default_backend() != "cpu":
-        fused = FusedMinsumDecoder.from_decoder(decoder, params)
-        decode = jax.jit(lambda p, x: fused(x))
-    else:
+        try:
+            fused = FusedMinsumDecoder.from_decoder(decoder, params)
+            probe = jnp.zeros((256, code.N, code.Z), jnp.float32)
+            jax.block_until_ready(fused(probe))
+            decode = jax.jit(lambda p, x: fused(x))
+        except Exception as e:  # pragma: no cover - resilience for the driver
+            print(f"fused kernel unavailable ({type(e).__name__}); XLA path", file=sys.stderr)
+    if decode is None:
         decode = jax.jit(lambda p, x: decoder.apply(p, x)[-1])
 
     rng = np.random.default_rng(0)

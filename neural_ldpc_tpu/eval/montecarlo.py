@@ -33,11 +33,13 @@ class CampaignConfig:
     seed: int = 2042
     checkpoint_dir: Optional[str] = None
     checkpoint_every_batches: int = 200
-    # decode engine: "xla" = decoder.apply (per-iteration BER/FER stats);
-    # "fused" = the fused Pallas kernel (final-iteration stats only, ~5x
-    # faster on TPU, ops/pallas/minsum.py); "auto" = fused when the decoder
-    # is eligible (MS/QMS, no UCN) and a TPU is present, else xla.
+    # decode engine: "xla" = decoder.apply; "fused" = the fused Pallas kernel
+    # (~5x+ faster on TPU, ops/pallas/minsum.py); "auto" = fused when the
+    # decoder is eligible and a TPU is present, else xla.
     engine: str = "auto"
+    # fused engine: per-iteration BER/FER stats (smaller batch tile) instead
+    # of final-iteration only
+    fused_all_iterations: bool = False
 
 
 class MonteCarloCampaign:
@@ -64,7 +66,7 @@ class MonteCarloCampaign:
         self.n_iters = decoder.config.n_iterations
         self.fused = self._resolve_engine() == "fused"
         S = len(channel.sigma)
-        n_cols = 1 if self.fused else self.n_iters
+        n_cols = 1 if self.fused and not config.fused_all_iterations else self.n_iters
         self.key = jax.random.PRNGKey(config.seed)
         self.words = np.zeros(S, np.int64)
         self.bit_errors = np.zeros((S, n_cols), np.float64)
@@ -96,7 +98,9 @@ class MonteCarloCampaign:
             from ..ops.pallas.minsum import FusedMinsumDecoder
 
             fused = FusedMinsumDecoder.from_decoder(
-                decoder, self.params, interpret=jax.default_backend() == "cpu"
+                decoder, self.params,
+                all_iterations=cfg.fused_all_iterations,
+                interpret=jax.default_backend() == "cpu",
             )
 
             if self.mesh is not None:
@@ -114,7 +118,10 @@ class MonteCarloCampaign:
                     llr, bits = channel.sample(
                         k, per_dev, jnp.full((per_dev,), sigma), cfg.all_zero
                     )
-                    c = count_errors(bits, fused(llr)[None], convention)
+                    out = fused(llr)
+                    if not cfg.fused_all_iterations:
+                        out = out[None]
+                    c = count_errors(bits, out, convention)
                     return jax.tree.map(lambda v: jax.lax.psum(v, axis), c)
 
                 return jax.jit(
@@ -134,8 +141,10 @@ class MonteCarloCampaign:
                 llr, bits = channel.sample(
                     key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
                 )
-                out = fused(llr)  # [B, N*Z] final-iteration APP
-                return count(bits, out[None])
+                out = fused(llr)  # [B, N*Z] final APP, or [I, B, N*Z]
+                if not cfg.fused_all_iterations:
+                    out = out[None]
+                return count(bits, out)
 
             return fused_step
 
@@ -187,7 +196,7 @@ class MonteCarloCampaign:
                 "words": int(self.words[s]),
                 "ber": (self.bit_errors[s] / (w * nz)).tolist(),
                 "fer": (self.frame_errors[s] / w).tolist(),
-                "final_iter_only": self.fused,
+                "final_iter_only": self.fused and not self.cfg.fused_all_iterations,
             }
         return out
 

@@ -73,6 +73,7 @@ class _Meta:
     int8_routing: bool = False
     has_ucn: bool = False
     sum_product: bool = False  # tanh-domain CN update instead of min-sum
+    all_iterations: bool = False  # emit every iteration's APP, not just the last
 
 
 def _quantize(x, qbit):
@@ -273,10 +274,13 @@ def _kernel(meta: _Meta, routing_dtype, chan_ref, rt_ref, r_ref, cnw_ref, vnw_re
                 r_ref[:], new_msg.astype(routing_dtype),
                 preferred_element_type=jnp.float32,
             )
+        if meta.all_iterations:
+            out_ref[i] = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
         return 0
 
     jax.lax.fori_loop(0, meta.n_iterations, body, 0)
-    out_ref[:] = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
+    if not meta.all_iterations:
+        out_ref[:] = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
 
 
 @functools.partial(
@@ -301,8 +305,14 @@ def _run(chan_nzb, rt, r, cn_w, vn_w, ucn_w, meta: _Meta, bt: int, routing_dtype
             pl.BlockSpec((I, NZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((I, EZ, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((NZ, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NZ, B), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((I, NZ, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            if meta.all_iterations
+            else pl.BlockSpec((NZ, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (I, NZ, B) if meta.all_iterations else (NZ, B), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((EZ, bt), jnp.float32),
             pltpu.VMEM((NZ, bt), jnp.float32),
@@ -334,6 +344,7 @@ class FusedMinsumDecoder:
         vn_weights: Optional[np.ndarray] = None,  # [I, N]
         ucn_weights: Optional[np.ndarray] = None,  # [I, E]; enables UCN split
         sum_product: bool = False,  # SP (tanh) check update instead of min-sum
+        all_iterations: bool = False,  # return [I, B, N*Z] instead of [B, N*Z]
         bt: Optional[int] = None,  # batch tile (lanes); None = auto by VMEM fit
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
@@ -347,9 +358,15 @@ class FusedMinsumDecoder:
         if bt is None:
             # measured on v5e (both codes): throughput rises to bt=512 and
             # flattens; the raised vmem_limit_bytes in _run makes 512 fit.
-            # UCN adds a routed-sign live tensor per iteration — large codes
-            # then need the smaller tile to stay inside scoped VMEM.
-            bt = 256 if (ucn_weights is not None and graph.E * graph.Z > 2500) else 512
+            # UCN adds a routed-sign live tensor per iteration, and
+            # all-iterations outputs an [I, NZ, bt] block — both need smaller
+            # tiles to stay inside scoped VMEM on large codes.
+            if all_iterations:
+                bt = 128
+            elif ucn_weights is not None and graph.E * graph.Z > 2500:
+                bt = 256
+            else:
+                bt = 512
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret
@@ -372,6 +389,7 @@ class FusedMinsumDecoder:
             int8_routing=int8_routing,
             has_ucn=ucn_weights is not None,
             sum_product=sum_product,
+            all_iterations=all_iterations,
         )
 
         from ..flat import FlatGraphArrays
@@ -442,4 +460,6 @@ class FusedMinsumDecoder:
             x.T, self._rt, self._r, self._cn_w, self._vn_w, self._ucn_w,
             self.meta, self.bt, self.routing_dtype, self.interpret,
         )
+        if self.meta.all_iterations:
+            return jnp.swapaxes(out, 1, 2)[:, :B, :]  # [I, B, N*Z]
         return out.T[:B]

@@ -119,3 +119,38 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     a1, _, _ = step(params, opt_state, llr, bits, jnp.float32(1e-2))
     a2, _, _ = step(p2, o2, llr, bits, jnp.float32(1e-2))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), a1, a2)
+
+
+def test_train_step_clean_under_debug_nans():
+    """SURVEY.md §5: nan-check smoke test — one train step with
+    jax_debug_nans enabled must not trip (STE/quantize/clip paths are the
+    usual suspects for hidden NaN-producing ops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+    from neural_ldpc_tpu.training import TrainConfig, make_train_step
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3,
+            decoder_type=DecoderType.QMS,
+            qms_qbit=5,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=2, vn=3),
+        ),
+    )
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(2.0,), qms_qbit=5))
+    params = dec.init_params()
+    init_opt, step = make_train_step(dec, TrainConfig(batch_size=8))
+    opt_state = init_opt(params)
+    llr, bits = channel.sample_mixed(jax.random.PRNGKey(0), 8, all_zero=True)
+    with jax.debug_nans(True):
+        params, opt_state, loss = step(params, opt_state, llr, bits, jnp.float32(1e-3))
+        jax.block_until_ready(params)
+    assert bool(jnp.isfinite(loss))
