@@ -30,7 +30,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from neural_ldpc_tpu.channel import AWGNChannel
     from neural_ldpc_tpu.models import BoostedNeuralDecoder
     from neural_ldpc_tpu.training import TrainConfig, make_train_step
     from neural_ldpc_tpu.utils.config import ExperimentConfig, get_preset

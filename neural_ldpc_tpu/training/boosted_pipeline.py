@@ -31,7 +31,6 @@ from ..channel.awgn import AWGNChannel
 from ..codes.tanner import TannerGraph
 from ..eval.metrics import hard_decision
 from ..models.boosted_decoder import BoostedDecoderConfig, BoostedNeuralDecoder
-from ..structs import SharingMode
 from .train_loop import TrainConfig, Trainer
 
 
@@ -104,11 +103,27 @@ class BoostedPipeline:
         snr_idx = cfg.collect_snr_index % len(self.channel.sigma)
         convention = decoder.config.convention
 
+        # harvesting is a pure decode sweep — use the fused kernel when
+        # eligible (error-floor sampling needs many words per hit)
+        decode_final = None
+        if jax.default_backend() != "cpu":
+            try:
+                from ..ops.pallas.minsum import FusedMinsumDecoder
+
+                fused = FusedMinsumDecoder.from_decoder(decoder, params)
+                decode_final = lambda p_, llr: fused(llr)  # noqa: E731
+            except ValueError:
+                pass
+        if decode_final is None:
+            decode_final = lambda p_, llr: decoder.apply(p_, llr)[-1]  # noqa: E731
+
         @jax.jit
-        def decode_fail_mask(params, llr, bits):
-            out = decoder.apply(params, llr)[-1]
+        def fail_from_out(out, bits):
             errs = hard_decision(out, convention) != bits.astype(jnp.int32)
             return errs.any(axis=1)
+
+        def decode_fail_mask(params, llr, bits):
+            return fail_from_out(decode_final(params, llr), bits)
 
         llrs, bit_rows = [], []
         collected = 0

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..channel.awgn import AWGNChannel
 from ..models.neural_decoder import NeuralMinSumDecoder
-from ..structs import Convention, LossType
+from ..structs import LossType
 from .loss import multi_iteration_loss
 
 # Dai et al. 25-layer SNR curriculum (reference test :34-36)

@@ -15,7 +15,7 @@ negate accordingly.  Pure function of (outputs, labels) — jit/grad safe.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax.numpy as jnp
 
