@@ -22,6 +22,7 @@ from ..channel.awgn import AWGNChannel
 from ..eval.metrics import count_errors
 from ..parallel import mesh as meshlib
 from ..utils.checkpoint import CheckpointManager
+from ..utils.rng import split_async
 
 
 @dataclasses.dataclass
@@ -170,7 +171,7 @@ class MonteCarloCampaign:
             while self.words[s] < cfg.max_words_per_snr:
                 if cfg.min_frame_errors and self.frame_errors[s, -1] >= cfg.min_frame_errors:
                     break
-                self.key, sub = jax.random.split(self.key)
+                self.key, sub = split_async(self.key)
                 counts = self._step(sub, jnp.float32(sigma))
                 self.words[s] += cfg.batch_size
                 self.bit_errors[s] += np.asarray(counts.bit_errors, np.float64)

@@ -31,6 +31,7 @@ from ..channel.awgn import AWGNChannel
 from ..codes.tanner import TannerGraph
 from ..eval.metrics import hard_decision
 from ..models.boosted_decoder import BoostedDecoderConfig, BoostedNeuralDecoder
+from ..utils.rng import split_async
 from .train_loop import TrainConfig, Trainer
 
 
@@ -130,7 +131,7 @@ class BoostedPipeline:
         for _ in range(cfg.max_collect_batches):
             if collected >= cfg.collect_words:
                 break
-            key, sub = jax.random.split(key)
+            key, sub = split_async(key)
             llr, bits = self.channel.sample_at(
                 sub, cfg.collect_batch_size, snr_idx,
                 all_zero=self.base_train.is_y_all_zero,

@@ -25,6 +25,7 @@ import numpy as np
 from ..channel.awgn import AWGNChannel
 from ..models.neural_decoder import NeuralMinSumDecoder
 from ..structs import LossType
+from ..utils.rng import split_async
 from .loss import multi_iteration_loss
 
 # Dai et al. 25-layer SNR curriculum (reference test :34-36)
@@ -112,7 +113,7 @@ class GreedyLayerTrainer:
         last_losses = np.zeros(n_layers)
         for epoch in range(cfg.total_epochs):
             for layer in range(n_layers):
-                key, sub = jax.random.split(key)
+                key, sub = split_async(key)
                 llr, bits = self.channel.sample_at(
                     sub, cfg.batch_size, layer, all_zero=cfg.is_y_all_zero
                 )

@@ -35,6 +35,7 @@ from ..eval.metrics import count_errors
 from ..models.boosted_decoder import BoostedNeuralDecoder
 from ..structs import LossType
 from ..utils.checkpoint import CheckpointManager
+from ..utils.rng import split_async
 from ..utils.metrics_logger import MetricsLogger
 from .loss import multi_iteration_loss
 from .lr_schedule import LearningRate
@@ -220,19 +221,23 @@ class Trainer:
         for epoch in range(start_epoch, cfg.total_epochs + 1):
             if epoch > 0:
                 current_lr = lr_sched()
-                epoch_loss, loss_val = 0.0, 0.0
+                # keep per-batch losses on device: a float() per step forces a
+                # full host<->device round-trip and serializes dispatch (the
+                # dominant cost at small batch); sync only on progress prints
+                epoch_losses, loss_val = [], 0.0
                 for b in range(batches_per_epoch):
-                    key, sub = jax.random.split(key)
+                    key, sub = split_async(key)
                     llr, bits = self._batch(sub)
                     params, opt_state, loss = self.train_step(
                         params, opt_state, llr, bits, jnp.float32(current_lr)
                     )
-                    loss_val = float(loss)
-                    epoch_loss += loss_val
+                    epoch_losses.append(loss)
                     if cfg.verbose and b % cfg.progress_step == 0:
+                        loss_val = float(loss)
                         print_train_progress(b + 1, batches_per_epoch, epoch,
                                              cfg.total_epochs, loss_val, t0)
-                avg_epoch_loss = epoch_loss / max(batches_per_epoch, 1)
+                loss_val = float(epoch_losses[-1])
+                avg_epoch_loss = float(jnp.mean(jnp.stack(epoch_losses)))
                 if cfg.verbose:
                     print_train_progress(batches_per_epoch, batches_per_epoch, epoch,
                                          cfg.total_epochs, loss_val, t0)
@@ -244,7 +249,7 @@ class Trainer:
                 tot = dict(be=0.0, bits=0.0, fe=0.0, frames=0.0,
                            last_be=0.0, last_bits=0.0, last_fe=0.0, last_frames=0.0)
                 for b in range(valid_batches):
-                    key, sub = jax.random.split(key)
+                    key, sub = split_async(key)
                     llr, bits = self._batch(sub)
                     loss, counts = self.eval_step(params, llr, bits)
                     valid_loss += float(loss)
