@@ -34,6 +34,10 @@ class SharingSpec:
     n_edges: int
     temporal_rows: tuple[int, ...]  # iteration ids owning a row (modes 4/5)
     row_of_iteration: tuple[int, ...]  # [I] row index into the stacked param
+    # DEGREE_ITER (framework extension, arXiv:2107.04221): class index per
+    # node (nodes of equal degree share a weight) and the class count
+    degree_class_of_node: tuple[int, ...] = ()
+    n_degree_classes: int = 0
 
     @staticmethod
     def build(
@@ -43,8 +47,20 @@ class SharingSpec:
         n_nodes: int,
         n_edges: int,
         fixed_iterative_nodes: tuple[int, ...] = (),
+        node_degrees=None,
     ) -> "SharingSpec":
         mode = SharingMode(mode)
+        degree_class_of_node: tuple[int, ...] = ()
+        n_degree_classes = 0
+        if mode == SharingMode.DEGREE_ITER:
+            if node_degrees is None:
+                raise ValueError("DEGREE_ITER needs the per-node degree array")
+            degrees = np.asarray(node_degrees)
+            classes = np.unique(degrees)
+            degree_class_of_node = tuple(
+                int(np.searchsorted(classes, d)) for d in degrees
+            )
+            n_degree_classes = len(classes)
         if mode in (SharingMode.EDGE_TEMPORAL, SharingMode.NODE_TEMPORAL):
             # reference _register_params creates iteration 0 plus each fixed
             # node (:141-145); fetch resolves i -> closest fixed node <= i,
@@ -73,6 +89,8 @@ class SharingSpec:
             node_type=node_type, mode=mode, n_iterations=n_iterations,
             n_nodes=n_nodes, n_edges=n_edges,
             temporal_rows=temporal_rows, row_of_iteration=row_of_iteration,
+            degree_class_of_node=degree_class_of_node,
+            n_degree_classes=n_degree_classes,
         )
 
     @property
@@ -90,6 +108,8 @@ class SharingSpec:
             return self.n_edges
         if self.mode in (SharingMode.NODE_ITER, SharingMode.NODE_TEMPORAL):
             return self.n_nodes
+        if self.mode == SharingMode.DEGREE_ITER:
+            return self.n_degree_classes
         return 1  # SharingMode.ITER: scalar per iteration
 
     def init(self, value: float, dtype=jnp.float32) -> Optional[jnp.ndarray]:
@@ -115,6 +135,9 @@ class SharingSpec:
         rows = raw[jnp.asarray(self.row_of_iteration)]  # [I, row_width]
         if self.mode in (SharingMode.NODE_ITER, SharingMode.NODE_TEMPORAL):
             per_edge = rows[:, node_of_edge]
+        elif self.mode == SharingMode.DEGREE_ITER:
+            cls = jnp.asarray(self.degree_class_of_node)
+            per_edge = rows[:, cls][:, node_of_edge]
         elif self.mode == SharingMode.ITER:
             per_edge = jnp.broadcast_to(rows, (self.n_iterations, self.n_edges))
         else:  # per-edge modes
@@ -142,6 +165,8 @@ class SharingSpec:
         rows = raw[jnp.asarray(self.row_of_iteration)]
         if self.mode in (SharingMode.NODE_ITER, SharingMode.NODE_TEMPORAL):
             per_node = rows
+        elif self.mode == SharingMode.DEGREE_ITER:
+            per_node = rows[:, jnp.asarray(self.degree_class_of_node)]
         elif self.mode == SharingMode.ITER:
             per_node = jnp.broadcast_to(rows, (self.n_iterations, self.n_nodes))
         else:
@@ -186,11 +211,17 @@ def build_sharing_specs(
 ) -> dict[str, SharingSpec]:
     """One spec per node type, keyed 'cn' / 'ucn' / 'vn'."""
     n_nodes = {NodeType.CN: graph.M, NodeType.UCN: graph.M, NodeType.VN: graph.N}
+    degrees = {
+        NodeType.CN: graph.cn_degree,
+        NodeType.UCN: graph.cn_degree,
+        NodeType.VN: graph.vn_degree,
+    }
     return {
         nt.value.lower(): SharingSpec.build(
             node_type=nt, mode=mode, n_iterations=n_iterations,
             n_nodes=n_nodes[nt], n_edges=graph.E,
             fixed_iterative_nodes=fixed_iterative_nodes,
+            node_degrees=degrees[nt],
         )
         for nt, mode in sharing_cfg
     }

@@ -127,6 +127,12 @@ class SharingMode(enum.IntEnum):
     0 = no weights; 1 = per-edge per-iteration; 2 = per-node per-iteration;
     3 = scalar per-iteration; 4 = per-edge temporally shared (boosting);
     5 = per-node temporally shared (boosting).
+
+    6 (DEGREE_ITER) is a framework extension beyond the reference: one weight
+    per distinct node *degree* per iteration (degree-specific neural weights,
+    arXiv:2107.04221 / arXiv:2310.15483) — far fewer parameters than per-node
+    modes while keeping the degree-dependent scaling that matters for
+    irregular codes.
     """
 
     NONE = 0
@@ -135,6 +141,7 @@ class SharingMode(enum.IntEnum):
     ITER = 3
     EDGE_TEMPORAL = 4
     NODE_TEMPORAL = 5
+    DEGREE_ITER = 6
 
 
 @dataclasses.dataclass(frozen=True)

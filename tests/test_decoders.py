@@ -336,3 +336,52 @@ def test_neural_decoder_flat_matches_edge():
     np.testing.assert_allclose(
         np.asarray(flat_.apply(params, x)), np.asarray(edge.apply(params, x)), atol=2e-4
     )
+
+
+def test_degree_specific_sharing_mode():
+    """SharingMode.DEGREE_ITER (framework extension, arXiv:2107.04221): one
+    weight per distinct node degree per iteration.  With every class set to
+    the same value it must equal the scalar ITER mode; classes must follow
+    node degrees."""
+    from neural_ldpc_tpu.structs import SharingMode
+
+    code = get_code("nr_bg2_set0_z16")  # irregular: multiple distinct degrees
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    kw = dict(n_iterations=3, decoder_type=DecoderType.MS,
+              convention=Convention.STANDARD, matmul_precision="highest")
+    deg = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        sharing=NodeWeightSharingConfig(cn=SharingMode.DEGREE_ITER, ucn=0,
+                                        vn=SharingMode.DEGREE_ITER), **kw))
+    p = deg.init_params()
+    assert p["weight_cn"].shape == (3, len(np.unique(g.cn_degree)))
+    assert p["weight_vn"].shape == (3, len(np.unique(g.vn_degree)))
+
+    scalar = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3), **kw))
+    ps = scalar.init_params()
+    ps = {k: v * 0.8 for k, v in ps.items()}
+    p_const = {k: v * 0.8 for k, v in p.items()}
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(3, code.N, code.Z)).astype(np.float32) * 3)
+    np.testing.assert_allclose(
+        np.asarray(deg.apply(p_const, x)), np.asarray(scalar.apply(ps, x)), atol=1e-5
+    )
+
+    # distinct per-class values must produce degree-dependent edge weights
+    import jax
+
+    p2 = {k: v * jnp.arange(1, v.shape[1] + 1, dtype=jnp.float32)[None] for k, v in p.items()}
+    cn_w, _, _ = deg._expanded_weights(p2)
+    cn_w = np.asarray(cn_w)
+    for e in range(g.E):
+        d = g.cn_degree[g.cn_of_edge[e]]
+        cls = int(np.searchsorted(np.unique(g.cn_degree), d))
+        assert cn_w[0, e] == cls + 1
+
+    # gradients flow (trains like any other mode)
+    def loss(pp):
+        return jnp.mean(jax.nn.sigmoid(deg.apply(pp, x)[-1]))
+
+    grads = jax.grad(loss)(p)
+    assert all(float(jnp.max(jnp.abs(v))) > 0 for v in grads.values())
