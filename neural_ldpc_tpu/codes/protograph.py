@@ -107,6 +107,29 @@ class CodeSpec:
         """
         return float(self.n_info_bits) / float(self.n_bits - n_punctured_bits - n_shortened_bits)
 
+    def with_derived_generator(self) -> "CodeSpec":
+        """Return a copy whose generator matrix is derived from the lifted H
+        via GF(2) elimination (codes/gf2.py).
+
+        Capability beyond the reference: its wman code ships no generator
+        matrix and is therefore restricted to all-zero codewords
+        (train/train_BoostedNeuralLDPCDecoder.py:96-98); this enables
+        random-codeword training/eval for every code.
+        """
+        import dataclasses
+
+        from .gf2 import generator_from_parity_check
+        from .tanner import TannerGraph
+
+        H = TannerGraph.from_basegraph(self.basegraph, self.Z).lifted_parity_check_matrix()
+        G = generator_from_parity_check(H)
+        if G.shape[0] != self.n_info_bits:
+            raise ValueError(
+                f"H has rank {self.n_bits - G.shape[0]} (deficient); derived "
+                f"K={G.shape[0]} != K*Z={self.n_info_bits} for {self.name}"
+            )
+        return dataclasses.replace(self, gen_matrix=G)
+
 
 def _resource(name: str) -> str:
     return os.path.join(_RESOURCE_DIR, name)

@@ -119,3 +119,34 @@ def test_routing_matrices_match_torch_reference(code, graph, torch_reference):
     for key in ours:
         ref_mat = getattr(ref, key)
         assert np.array_equal(ours[key], ref_mat), f"{key} differs"
+
+
+def test_derived_generator_matrix_wman():
+    """codes/gf2.py: derive G from the lifted H for the wman code (which the
+    reference ships no generator for) — H @ G.T must vanish over GF(2) and
+    rows must be systematic on the info positions."""
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.codes.gf2 import rank_gf2
+
+    code = get_code("wman_n576_r34_z24")
+    assert code.gen_matrix is None
+    derived = code.with_derived_generator()
+    G = derived.gen_matrix
+    assert G.shape == (code.n_info_bits, code.n_bits)
+
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    H = g.lifted_parity_check_matrix()
+    assert rank_gf2(H) == code.n_checks
+    syn = (H.astype(np.int64) @ G.T.astype(np.int64)) % 2
+    assert not syn.any()
+
+    # random codewords through the channel encoder satisfy H too
+    from neural_ldpc_tpu import native
+    rng = np.random.default_rng(0)
+    info = rng.integers(0, 2, size=(16, code.n_info_bits)).astype(np.uint8)
+    cw = native.gf2_encode(info, native.pack_rows(G), code.n_bits)
+    assert native.gf2_syndrome_ok(cw, native.pack_rows(H), code.n_bits).all()
+    # non-trivial codewords (not all-zero)
+    assert cw.sum() > 0
