@@ -320,7 +320,7 @@ def _run(chan_nzb, rt, r, cn_w, vn_w, ucn_w, meta: _Meta, bt: int, routing_dtype
         # the default scoped-vmem limit (16 MB) is conservative; with both
         # routing operands resident plus double-buffered streams the kernel
         # legitimately wants more (v5e has 128 MB of physical VMEM)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
     )(chan_nzb, rt, r, cn_w, vn_w, ucn_w)
 
@@ -361,10 +361,8 @@ class FusedMinsumDecoder:
             # UCN adds a routed-sign live tensor per iteration, and
             # all-iterations outputs an [I, NZ, bt] block — both need smaller
             # tiles to stay inside scoped VMEM on large codes.
-            if all_iterations:
+            if all_iterations or (ucn_weights is not None and graph.E * graph.Z > 2500):
                 bt = 128
-            elif ucn_weights is not None and graph.E * graph.Z > 2500:
-                bt = 256
             else:
                 bt = 512
         self.bt = bt
