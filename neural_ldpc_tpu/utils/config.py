@@ -52,6 +52,9 @@ class ExperimentConfig:
     shortening: tuple[int, int] = (0, 0)
     y_all_zero: bool = False
     qms_channel_quantize: bool = True
+    # derive a generator matrix from H (GF(2) elimination, codes/gf2.py) when
+    # the code ships none — enables random codewords for e.g. wman
+    derive_gen_matrix: bool = False
 
     # training
     mode: str = "standard"  # standard | greedy | boosted
@@ -87,7 +90,10 @@ class ExperimentConfig:
     def build_code(self):
         from ..codes import get_code
 
-        return get_code(self.code)
+        code = get_code(self.code)
+        if self.derive_gen_matrix and code.gen_matrix is None:
+            code = code.with_derived_generator()
+        return code
 
     def build_graph(self):
         from ..codes import TannerGraph

@@ -101,3 +101,18 @@ def test_profile_cli_runs():
     rc = main(["--preset", "wman_ms_plain", "--batch-size", "64",
                "--train-batch-size", "8", "--reps", "2", "--only", "decode_xla"])
     assert rc == 0
+
+
+def test_derive_gen_matrix_config_flag():
+    from neural_ldpc_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig(code="wman_n576_r34_z24", derive_gen_matrix=True)
+    code = cfg.build_code()
+    assert code.gen_matrix is not None
+    assert code.gen_matrix.shape == (code.n_info_bits, code.n_bits)
+    # channel can now generate random codewords for wman
+    import jax
+
+    channel = cfg.build_channel(code)
+    llr, bits = channel.sample_mixed(jax.random.PRNGKey(0), 4, all_zero=False)
+    assert float(bits.sum()) > 0
