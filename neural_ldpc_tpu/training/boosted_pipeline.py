@@ -138,8 +138,12 @@ class BoostedPipeline:
             )
             fail = np.asarray(decode_fail_mask(params, llr, bits))
             if fail.any():
-                llrs.append(np.asarray(llr)[fail])
-                bit_rows.append(np.asarray(bits)[fail])
+                # gather the failed rows on device before fetching — pulling
+                # the whole batch to host costs ~200 MB per batch at
+                # collect_batch_size=65536 over a tunneled TPU
+                idx = jnp.asarray(np.nonzero(fail)[0])
+                llrs.append(np.asarray(jnp.take(llr, idx, axis=0)))
+                bit_rows.append(np.asarray(jnp.take(bits, idx, axis=0)))
                 collected += int(fail.sum())
         if collected == 0:
             raise RuntimeError(
