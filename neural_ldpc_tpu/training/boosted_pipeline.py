@@ -44,6 +44,13 @@ class BoostedPipelineConfig:
     collect_snr_index: int = -1  # channel SNR used for harvesting (-1 = highest)
     max_collect_batches: int = 2000
     seed: int = 911
+    # fraction of each post-training batch drawn from the uncorrected-word
+    # pool; the rest are fresh channel words.  Training the post iterations on
+    # failures alone overfits their distribution (the decoder learns to
+    # distrust the channel and then breaks easy words — measured: FER@4dB
+    # 1000x worse than its own frozen base); mixing keeps the easy-word
+    # behavior anchored while the pool supplies the error-floor signal.
+    pool_mix_ratio: float = 0.5
 
 
 class BoostedPipeline:
@@ -157,6 +164,36 @@ class BoostedPipeline:
         return llr, bits
 
     # ------------------------------------------------------------------
+    def make_post_datagen(self, llr_pool, bits_pool, rng):
+        """Host datagen for stage 2: ``pool_mix_ratio`` of each batch from the
+        uncorrected pool, the rest fresh channel words (see
+        BoostedPipelineConfig.pool_mix_ratio)."""
+        import jax
+
+        key_holder = [jax.random.PRNGKey(self.cfg.seed + 1)]
+
+        def datagen(batch_size):
+            n_pool = int(batch_size * self.cfg.pool_mix_ratio)
+            idx = rng.integers(0, len(llr_pool), size=n_pool)
+            parts_llr, parts_bits = [llr_pool[idx]], [bits_pool[idx]]
+            n_fresh = batch_size - n_pool
+            if n_fresh > 0:
+                from ..utils.rng import split_async
+
+                key_holder[0], sub = split_async(key_holder[0])
+                llr_f, bits_f = self.channel.sample_mixed(
+                    sub, n_fresh, all_zero=self.base_train.is_y_all_zero
+                )
+                parts_llr.append(np.asarray(llr_f))
+                parts_bits.append(np.asarray(bits_f))
+            return (
+                np.concatenate(parts_llr).astype(np.float32),
+                np.concatenate(parts_bits).astype(np.float32),
+            )
+
+        return datagen
+
+    # ------------------------------------------------------------------
     def run(self, base_params: Optional[dict] = None, verbose: bool = True):
         """Execute the full pipeline; returns (extended_params, report)."""
         report = {}
@@ -173,16 +210,14 @@ class BoostedPipeline:
                                                              verbose=verbose)
         report["collected_words"] = int(len(llr_pool))
 
-        # stage 2: post decoder on the collected pool
+        # stage 2: post decoder on the pool mixed with fresh channel words
         params = self.transfer_base_params(base_params)
         rng = np.random.default_rng(self.cfg.seed)
         bs = self.post_train.batch_size
+        pool_datagen = self.make_post_datagen(llr_pool, bits_pool, rng)
 
-        def pool_datagen(batch_size):
-            idx = rng.integers(0, len(llr_pool), size=batch_size)
-            return llr_pool[idx], bits_pool[idx]
-
-        assert bs <= len(llr_pool), "post batch size exceeds collected pool"
+        assert int(bs * self.cfg.pool_mix_ratio) <= len(llr_pool), \
+            "post batch pool share exceeds collected pool"
         trainer2 = Trainer(self.post_decoder, self.channel, self.post_train,
                            mesh=self.mesh, host_datagen=pool_datagen)
         params, _, s2 = trainer2.train(params=params)

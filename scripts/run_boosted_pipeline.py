@@ -94,11 +94,7 @@ def main():
         llr_pool, bits_pool = pool["llr"], pool["bits"]
         params = pipe.transfer_base_params(base_params)
         rng = np.random.default_rng(911)
-
-        def pool_datagen(batch_size):
-            idx = rng.integers(0, len(llr_pool), size=batch_size)
-            return llr_pool[idx], bits_pool[idx]
-
+        pool_datagen = pipe.make_post_datagen(llr_pool, bits_pool, rng)
         trainer2 = Trainer(pipe.post_decoder, channel, pipe.post_train,
                            host_datagen=pool_datagen)
         ext_params, _, info = trainer2.train(params=params)
