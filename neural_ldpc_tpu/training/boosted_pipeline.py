@@ -51,6 +51,13 @@ class BoostedPipelineConfig:
     # 1000x worse than its own frozen base); mixing keeps the easy-word
     # behavior anchored while the pool supplies the error-floor signal.
     pool_mix_ratio: float = 0.5
+    # UCN sharing mode for the EXTENDED decoder (None = keep the base
+    # config's).  The Kwak recipe hinges on this: post-iteration corrections
+    # ride the unsatisfied-check weights, so converged words (no unsatisfied
+    # checks) are untouched; the UCN rows of the frozen base iterations are
+    # seeded from the base CN weights so base behavior is preserved exactly
+    # on satisfied checks and near-exactly on unsatisfied ones.
+    post_ucn_sharing: Optional[int] = 2  # SharingMode.NODE_ITER
 
 
 class BoostedPipeline:
@@ -82,22 +89,38 @@ class BoostedPipeline:
         self.post_decoder = BoostedNeuralDecoder(graph, self.extended_config())
 
     def extended_config(self) -> BoostedDecoderConfig:
+        sharing = self.base_config.sharing
+        if self.cfg.post_ucn_sharing is not None:
+            sharing = dataclasses.replace(sharing, ucn=self.cfg.post_ucn_sharing)
         return dataclasses.replace(
             self.base_config,
             n_iterations=self.cfg.base_iters + self.cfg.post_iters,
             fixed_iterative_nodes_init_weight=self.cfg.base_iters,
+            sharing=sharing,
         )
 
     # ------------------------------------------------------------------
     def transfer_base_params(self, base_params) -> dict:
         """Seed the extended decoder: rows [0, base_iters) copied from the
-        trained base, post rows at their init values."""
+        trained base, post rows at their init values.
+
+        A UCN leaf the base didn't have gets its frozen rows seeded from the
+        base CN weights (broadcast across its row width), so the base
+        iterations behave identically on satisfied AND unsatisfied checks."""
         ext = self.post_decoder.init_params()
         out = {}
+        nb = self.cfg.base_iters
         for k, v in ext.items():
             if k in base_params:
                 base_rows = np.asarray(base_params[k])
                 v = v.at[: base_rows.shape[0]].set(jnp.asarray(base_rows))
+            elif k == "weight_ucn" and "weight_cn" in base_params:
+                cn_rows = np.asarray(base_params["weight_cn"])[:nb]
+                seeded = np.broadcast_to(
+                    cn_rows if cn_rows.shape[1] == v.shape[1] else cn_rows[:, :1],
+                    (nb, v.shape[1]),
+                )
+                v = v.at[:nb].set(jnp.asarray(seeded))
             out[k] = v
         return out
 
