@@ -58,6 +58,14 @@ class BoostedPipelineConfig:
     # seeded from the base CN weights so base behavior is preserved exactly
     # on satisfied checks and near-exactly on unsatisfied ones.
     post_ucn_sharing: Optional[int] = 2  # SharingMode.NODE_ITER
+    # train ONLY the UCN weights in the post stage (post CN/VN rows stay at
+    # their neutral init of 1.0, i.e. plain min-sum).  This is the part of
+    # the Kwak recipe that makes boosting safe: converged words have no
+    # unsatisfied checks, so neutral post iterations cannot disturb them,
+    # while corrections flow exclusively through the UCN path.  (Measured
+    # without it: jointly trained post CN/VN weights contract easy-word
+    # margins and cost 400-1000x FER at 4 dB.)
+    post_train_ucn_only: bool = True
 
 
 class BoostedPipeline:
@@ -81,6 +89,10 @@ class BoostedPipeline:
             post_train,
             training_iter_start=pipeline.base_iters,
             training_iter_end=pipeline.base_iters + pipeline.post_iters,
+            train_only_params=(
+                ("weight_ucn",) if pipeline.post_train_ucn_only
+                and pipeline.post_ucn_sharing else post_train.train_only_params
+            ),
         )
         self.cfg = pipeline
         self.mesh = mesh

@@ -58,6 +58,9 @@ class TrainConfig:
     is_y_all_zero: bool = False
     training_iter_start: int = 0
     training_iter_end: Optional[int] = None  # default: all iterations
+    # restrict optimization to these param leaves (e.g. ("weight_ucn",));
+    # None = train everything the row masks allow
+    train_only_params: Optional[tuple[str, ...]] = None
     patience: int = 10
     min_delta: float = 1e-5
     validate_epoch_step: int = 5
@@ -80,6 +83,9 @@ def make_train_step(
     update, gradient clipping, row freezing, and the clamp projection."""
     adam = optax.scale_by_adam()
     masks = decoder.trainable_row_masks()
+    if train_cfg.train_only_params is not None:
+        keep = set(train_cfg.train_only_params)
+        masks = {k: (m if k in keep else m * 0.0) for k, m in masks.items()}
     i0 = train_cfg.training_iter_start
     i1 = train_cfg.training_iter_end or decoder.config.n_iterations
     coeffs = list(range(i1 - i0))  # reference: coeff_param=list(range(len(outputs)))

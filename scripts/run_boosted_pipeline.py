@@ -119,6 +119,23 @@ def main():
             results[name] = {str(k): {"words": v["words"], "ber": v["ber"][-1],
                                       "fer": v["fer"][-1]} for k, v in r.items()}
 
+        # pool correction rate: fraction of the harvested base-failures the
+        # post decoder fixes (the direct Kwak metric)
+        pool = np.load(pool_npz)
+        pl, pb = jnp.asarray(pool["llr"]), pool["bits"].astype(np.int32)
+        fixed_counts = {}
+        for name, dec, params in (("base20", pipe.base_decoder, base_params),
+                                  ("boosted25", pipe.post_decoder, ext_params)):
+            out = np.asarray(dec.apply(params, pl)[-1])
+            ok = ((out < 0).astype(np.int32) == pb).all(axis=1)
+            fixed_counts[name] = int(ok.sum())
+        results["pool_correction"] = {
+            "pool_size": int(pl.shape[0]),
+            "base20_corrected": fixed_counts["base20"],
+            "boosted25_corrected": fixed_counts["boosted25"],
+        }
+        print(f"pool correction: {fixed_counts}", flush=True)
+
         sweep("base20_trained", pipe.base_decoder, base_params)
         sweep("boosted25_trained", pipe.post_decoder, ext_params)
         dec_u = BoostedNeuralDecoder(g, base_cfg)
