@@ -84,8 +84,16 @@ def test_boosted_pipeline_end_to_end(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ext_params["weight_cn"])[:3], np.asarray(base_params["weight_cn"]))
     assert ext_params["weight_cn"].shape == (5, 1)
-    # post rows were trained (moved off the init value 1.0)
-    assert np.abs(np.asarray(ext_params["weight_cn"])[3:] - 1.0).max() > 0
+    # post stage trains ONLY the UCN weights (post_train_ucn_only default):
+    # CN/VN post rows stay at their neutral init, UCN post rows move
+    assert np.abs(np.asarray(ext_params["weight_cn"])[3:] - 1.0).max() == 0
+    assert "weight_ucn" in ext_params
+    # frozen base UCN rows are seeded from the base CN scalars
+    np.testing.assert_allclose(
+        np.asarray(ext_params["weight_ucn"])[:3],
+        np.broadcast_to(np.asarray(base_params["weight_cn"]),
+                        np.asarray(ext_params["weight_ucn"])[:3].shape))
+    assert np.abs(np.asarray(ext_params["weight_ucn"])[3:] - 1.0).max() > 0
 
 
 def test_pipeline_collect_finds_real_failures():
