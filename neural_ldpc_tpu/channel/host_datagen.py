@@ -114,3 +114,16 @@ class HostDatagen:
         """Syndrome-check a batch against the lifted H (native popcount path)."""
         hp = native.pack_rows(graph.lifted_parity_check_matrix())
         return native.gf2_syndrome_ok(bits, hp, self.code.n_bits)
+
+    def as_train_datagen(self, all_zero: bool = True, start_offset: int = 0):
+        """Adapter for ``Trainer(host_datagen=...)``: a callable drawing
+        successive word windows from the deterministic stream (the native C++
+        channel feeds training instead of the on-device generator)."""
+        cursor = [int(start_offset)]
+
+        def datagen(batch_size: int):
+            b = self.batch(cursor[0], batch_size, all_zero=all_zero)
+            cursor[0] += batch_size
+            return b.llr, b.bits.astype(np.float32)
+
+        return datagen

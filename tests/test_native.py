@@ -129,3 +129,32 @@ def test_host_datagen_matches_device_convention(bg2):
         code, ChannelConfig(snr_db=(3.0,), convention=Convention.REFERENCE), seed=1
     ).batch(0, 200)
     assert ref.llr.mean() < 0
+
+
+def test_host_datagen_feeds_trainer(bg2):
+    """The native host channel can drive the training loop end to end."""
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+    from neural_ldpc_tpu.training import TrainConfig, Trainer
+
+    code, graph = bg2
+    dec = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    dg = HostDatagen(code, ChannelConfig(snr_db=(2.0, 4.0)), seed=5)
+    trainer = Trainer(
+        dec, __import__("neural_ldpc_tpu.channel", fromlist=["AWGNChannel"]).AWGNChannel(
+            code, ChannelConfig(snr_db=(2.0, 4.0))),
+        TrainConfig(total_epochs=2, batch_size=16, train_words_per_epoch=32,
+                    validate_words=16, validate_epoch_step=2, checkpoint_step=10**9,
+                    log_metrics_step=10**9, progress_step=10**9,
+                    checkpoint_dir="/tmp/native_train_ckpt",
+                    export_weights_txt=False, verbose=False),
+        host_datagen=dg.as_train_datagen(all_zero=True),
+    )
+    params, _, info = trainer.train()
+    assert np.isfinite(info["best_loss"])
+    # weights moved off init
+    assert float(jnp.abs(params["weight_cn"] - 1.0).max()) > 0
