@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--base-epochs", type=int, default=100)
     ap.add_argument("--post-epochs", type=int, default=40)
     ap.add_argument("--collect-words", type=int, default=2048)
+    ap.add_argument("--post-ucn-only", type=int, default=1,
+                    help="1: train only UCN weights (safe standalone decoder); "
+                         "0: train all post weights (aggressive second-stage "
+                         "decoder for two-stage decoding)")
+    ap.add_argument("--ext-npz", default=None,
+                    help="override output npz for the extended decoder")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +48,7 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     base_npz = os.path.join(args.out_dir, "bg2_qms20_base100ep.npz")
     pool_npz = os.path.join(args.out_dir, "bg2_errorfloor_pool.npz")
-    ext_npz = os.path.join(args.out_dir, "bg2_qms25_boosted.npz")
+    ext_npz = args.ext_npz or os.path.join(args.out_dir, "bg2_qms25_boosted.npz")
 
     code = get_code("nr_bg2_set0_z16")
     g = TannerGraph.from_basegraph(code.basegraph, code.Z)
@@ -66,7 +72,8 @@ def main():
         BoostedPipelineConfig(base_iters=20, post_iters=5,
                               collect_words=args.collect_words,
                               collect_batch_size=65536, collect_snr_index=-1,
-                              max_collect_batches=5000, seed=911),
+                              max_collect_batches=5000, seed=911,
+                              post_train_ucn_only=bool(args.post_ucn_only)),
     )
 
     def save(path, tree):

@@ -250,3 +250,45 @@ def test_montecarlo_fused_per_iteration_stats():
     # (plain min-sum at 1 dB is not monotone across iterations — no such claim)
     assert all(0 < b < 0.5 for b in r["ber"])
     assert len(set(r["ber"])) > 1
+
+
+def test_two_stage_decoder():
+    """Two-stage decode: syndrome routing accepts stage-1 successes and
+    escalates failures; with an 'oracle' post stage the system fixes exactly
+    the escalated words."""
+    import jax
+
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.two_stage import TwoStageDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        ),
+    )
+    p = dec.init_params()
+    base_decode = jax.jit(lambda x: dec.apply(p, x)[-1])
+    # oracle post stage: returns the true (all-zero) codeword APP
+    oracle = lambda x: jnp.full((x.shape[0], code.n_bits), 5.0)  # noqa: E731
+
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(1.5,)))
+    llr, bits = channel.sample_at(jax.random.PRNGKey(2), 128, 0)
+
+    ts = TwoStageDecoder(g, base_decode, oracle)
+    app, used_post = ts(llr)
+    stats = ts.decode_with_fallback_stats(llr, bits)
+    assert stats["frames"] == 128
+    assert stats["base_frame_errors"] > 0  # 1.5 dB: base must fail sometimes
+    # syndrome-escalation is a superset of true frame errors (undetected
+    # errors are valid codewords — none expected at this block length/SNR)
+    assert stats["escalated"] >= stats["base_frame_errors"]
+    # oracle post stage clears every escalated word
+    assert stats["system_frame_errors"] == 0
+    # words not escalated keep the base output bit-for-bit
+    keep = ~np.asarray(used_post)
+    base_app = np.asarray(base_decode(llr))
+    np.testing.assert_array_equal(np.asarray(app)[keep], base_app[keep])
