@@ -81,11 +81,18 @@ def main(argv=None):
         import jax.numpy as jnp
 
         for key in list(params):
-            prefix = f"weight_{key.split('_', 1)[1].upper()}_"
-            rows = sorted((n for n in data.files if n.startswith(prefix)),
-                          key=lambda n: int(n.rsplit("_", 1)[1]))
-            if rows:
-                params[key] = jnp.asarray(np.stack([np.atleast_1d(data[n]) for n in rows]))
+            node = key.split("_", 1)[1]
+            prefix = f"weight_{node.upper()}_"
+            names = {int(n.rsplit("_", 1)[1]): n
+                     for n in data.files if n.startswith(prefix)}
+            if not names:
+                continue
+            # temporal-sharing params store rows in temporal_rows order (which
+            # need not be ascending); replay that order, not sorted()
+            spec = decoder.specs[node]
+            row_iters = spec.temporal_rows if spec.temporal_rows else sorted(names)
+            params[key] = jnp.asarray(
+                np.stack([np.atleast_1d(data[names[it]]) for it in row_iters]))
     elif args.checkpoint:
         cm = CheckpointManager(cfg.checkpoint_dir)
         params, _, _, _, _ = cm.load(args.checkpoint, params)

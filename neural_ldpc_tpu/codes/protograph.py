@@ -96,16 +96,20 @@ class CodeSpec:
         return self.K * self.Z
 
     def code_rate(self, n_punctured_bits: int = 0, n_shortened_bits: int = 0) -> float:
-        """Design rate counted in bits: K*Z / (N*Z - punct - short).
+        """Design rate counted in bits: (K*Z - short) / (N*Z - punct - short).
 
-        The reference computes K/(N - len(punct) - len(short)) with N in
-        base-graph COLUMNS but puncture/shortening lengths in BITS
+        Shortened positions are known-zero info bits, so they leave the
+        numerator as well as the transmitted length.  The reference computes
+        K/(N - len(punct) - len(short)) with N in base-graph COLUMNS but
+        puncture/shortening lengths in BITS
         (src/boosted_neural_ldpc_decoder/AWGNPassedDatagen.py:47 vs the bit
         ranges applied at :110-118) — that goes negative for any real range.
-        Both formulas agree in the unpunctured case the reference exercises;
-        we use the dimensionally consistent one.
+        All formulas agree in the unpunctured/unshortened case the reference
+        exercises; we use the dimensionally consistent one.
         """
-        return float(self.n_info_bits) / float(self.n_bits - n_punctured_bits - n_shortened_bits)
+        return float(self.n_info_bits - n_shortened_bits) / float(
+            self.n_bits - n_punctured_bits - n_shortened_bits
+        )
 
     def with_derived_generator(self) -> "CodeSpec":
         """Return a copy whose generator matrix is derived from the lifted H

@@ -80,8 +80,12 @@ class MonteCarloCampaign:
 
     def _fused_eligible(self) -> bool:
         from ..ops.pallas.minsum import _supported
+        from ..structs import Convention
 
-        return _supported(self.decoder.graph)
+        return (
+            _supported(self.decoder.graph)
+            and self.decoder.config.convention != Convention.REFERENCE
+        )
 
     def _resolve_engine(self) -> str:
         if self.cfg.engine == "xla":

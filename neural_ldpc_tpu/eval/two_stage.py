@@ -34,6 +34,10 @@ class TwoStageDecoder:
     """
 
     def __init__(self, graph: TannerGraph, base_decode, post_decode):
+        # decode callables must produce STANDARD-convention APPs (LLR < 0 ->
+        # bit 1); REFERENCE-convention outputs would invert the syndrome
+        # decisions silently, so the fused/flat paths' STANDARD-only guards
+        # also protect this class
         self.graph = graph
         self.base_decode = base_decode
         self.post_decode = post_decode

@@ -222,7 +222,12 @@ class BoostedNeuralDecoder:
             if cfg.decoder_type == DecoderType.SP:
                 c2v_raw = bp.cn_update_sumproduct(v2c, ga, parity_with_reference=parity)
             else:
-                c2v_raw = bp.cn_update_minsum(v2c, ga, parity_with_reference=parity)
+                # parity mode reproduces the reference's +1e-4 zero-avoidance
+                # pass and its removal after the min (:391-393,:416)
+                c2v_raw = bp.cn_update_minsum(
+                    v2c, ga, parity_with_reference=parity,
+                    zero_handling="eps" if parity else "standard",
+                )
             c2v_raw = bp.lift_roll_out(c2v_raw, ga)
 
             # --- CN/UCN weighting on magnitudes (reference :431-503)

@@ -201,8 +201,10 @@ def cn_update_sumproduct(
 
     Replaces reference :400-408.  The extrinsic product excluding self is
     computed with a [B, Z, M, D, D] masked tile over max check degree D
-    (D <= 15 here vs the reference's E x E tile), which avoids the numerical
-    hazards of divide-by-tanh or log-domain subtraction near zero.
+    (D <= 15 here vs the reference's E x E tile).  This edge path keeps the
+    tile formulation deliberately — it reproduces the reference's product
+    structure for parity testing; the O(D) prefix/suffix form lives on the
+    fast paths (ops/flat.cn_sumproduct_flat, the fused kernel).
     """
     batch_shape = v2c.shape[:-1]
     t = jnp.tanh(0.5 * v2c)

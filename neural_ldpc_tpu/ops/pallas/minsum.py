@@ -421,7 +421,14 @@ class FusedMinsumDecoder:
         incl. UCN weighting — the full boosted decoder family)."""
         from ...structs import DecoderType, SharingMode
 
+        from ...structs import Convention
+
         cfg = decoder.config
+        if cfg.convention == Convention.REFERENCE:
+            raise ValueError(
+                "fused kernel implements STANDARD-convention semantics only; "
+                "REFERENCE-parity decoding uses the edge path (ops/bp.py)"
+            )
         cn_w, ucn_w, vn_w = decoder._expanded_weights(params)
         if cfg.sharing.ucn == SharingMode.NONE:
             ucn_w = None

@@ -128,10 +128,14 @@ class BoostedPipeline:
                 v = v.at[: base_rows.shape[0]].set(jnp.asarray(base_rows))
             elif k == "weight_ucn" and "weight_cn" in base_params:
                 cn_rows = np.asarray(base_params["weight_cn"])[:nb]
-                seeded = np.broadcast_to(
-                    cn_rows if cn_rows.shape[1] == v.shape[1] else cn_rows[:, :1],
-                    (nb, v.shape[1]),
-                )
+                if cn_rows.shape[1] not in (1, v.shape[1]):
+                    raise ValueError(
+                        f"cannot seed UCN rows of width {v.shape[1]} from base "
+                        f"CN rows of width {cn_rows.shape[1]}; use matching "
+                        "sharing granularities (or scalar ITER cn) so the "
+                        "frozen base behaves identically"
+                    )
+                seeded = np.broadcast_to(cn_rows, (nb, v.shape[1]))
                 v = v.at[:nb].set(jnp.asarray(seeded))
             out[k] = v
         return out

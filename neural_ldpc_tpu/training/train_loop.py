@@ -87,7 +87,8 @@ def make_train_step(
         keep = set(train_cfg.train_only_params)
         masks = {k: (m if k in keep else m * 0.0) for k, m in masks.items()}
     i0 = train_cfg.training_iter_start
-    i1 = train_cfg.training_iter_end or decoder.config.n_iterations
+    i1 = (train_cfg.training_iter_end if train_cfg.training_iter_end is not None
+          else decoder.config.n_iterations)
     coeffs = list(range(i1 - i0))  # reference: coeff_param=list(range(len(outputs)))
     convention = decoder.config.convention
 

@@ -105,7 +105,7 @@ class ExperimentConfig:
         from ..models import BoostedDecoderConfig
 
         return BoostedDecoderConfig(
-            n_iterations=n_iterations or self.n_iterations,
+            n_iterations=n_iterations if n_iterations is not None else self.n_iterations,
             decoder_type=self.decoder_type,
             qms_qbit=self.qms_qbit,
             sharing=NodeWeightSharingConfig(
@@ -135,6 +135,9 @@ class ExperimentConfig:
             allowed_llr_range=Clipping.of(abs=self.llr_clip),
             convention=self.convention,
             qms_qbit=qbit,
+            # reference keeps punctured LLRs epsilon-alive for SP so tanh(0)
+            # does not annihilate the check products (AWGNPassedDatagen.py:111-114)
+            sp_puncture_value=0.001 if self.decoder_type == DecoderType.SP else 0.0,
         ))
 
     def build_train_config(self):

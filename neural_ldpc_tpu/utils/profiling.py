@@ -24,7 +24,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(logdir: str, host_tracer_level: int = 2):
+def trace(logdir: str):
     """Capture a device+host profiler trace into ``logdir`` (view with
     TensorBoard's profile plugin or ui.perfetto.dev)."""
     jax.profiler.start_trace(logdir, create_perfetto_trace=True)

@@ -292,3 +292,30 @@ def test_two_stage_decoder():
     keep = ~np.asarray(used_post)
     base_app = np.asarray(base_decode(llr))
     np.testing.assert_array_equal(np.asarray(app)[keep], base_app[keep])
+
+
+def test_fused_rejects_reference_convention():
+    from neural_ldpc_tpu.structs import Convention
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=3, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+            convention=Convention.REFERENCE,
+        ),
+    )
+    with pytest.raises(ValueError, match="STANDARD-convention"):
+        FusedMinsumDecoder.from_decoder(dec, dec.init_params())
+    # and the campaign must not auto-select it either
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+
+    mc = MonteCarloCampaign(
+        dec, dec.init_params(),
+        AWGNChannel(code, ChannelConfig(snr_db=(4.0,), convention=Convention.REFERENCE)),
+        CampaignConfig(batch_size=8, max_words_per_snr=8, min_frame_errors=0),
+    )
+    assert not mc.fused

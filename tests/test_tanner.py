@@ -150,3 +150,15 @@ def test_derived_generator_matrix_wman():
     assert native.gf2_syndrome_ok(cw, native.pack_rows(H), code.n_bits).all()
     # non-trivial codewords (not all-zero)
     assert cw.sum() > 0
+
+
+def test_code_rate_shortening_semantics():
+    """Shortened positions are known-zero info bits: they leave the numerator
+    AND the transmitted length."""
+    from neural_ldpc_tpu.codes import get_code
+
+    code = get_code("nr_bg2_set0_z16")  # K*Z=160, N*Z=832
+    assert code.code_rate() == 160 / 832
+    assert code.code_rate(n_punctured_bits=32) == 160 / 800
+    assert code.code_rate(n_shortened_bits=60) == (160 - 60) / (832 - 60)
+    assert code.code_rate(32, 60) == 100 / 740
