@@ -5,9 +5,10 @@ Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "codewords/s/chip", "vs_baseline": N}
 
 vs_baseline compares against the torch reference decoding the same workload
-(BoostedNeuralLDPCDecoder, MS, wman, 5 iterations, batch 128) measured on this
-image's CPU: 24.4 codewords/s (single-thread torch 2.13; see BASELINE.md —
-the reference publishes no numbers of its own, so the driver-mandated
+(BoostedNeuralLDPCDecoder, MS, wman, 5 iterations, batch 128, no_grad,
+target_iter=4) measured on this image's CPU: 171.8 codewords/s (torch 2.13,
+single CPU, best over batch sizes; re-measured 2026-08-16 — see BASELINE.md.
+The reference publishes no numbers of its own, so the driver-mandated
 ">=10x vs CPU" anchor is this measurement).
 """
 
@@ -18,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_CPU_WORDS_PER_S = 24.4
+REFERENCE_CPU_WORDS_PER_S = 171.8
 
 
 def main():
@@ -88,7 +89,7 @@ def main():
                 "detail": {
                     "batch": best_batch,
                     "device": str(jax.devices()[0]),
-                    "baseline": "torch reference CPU, same workload, 24.4 words/s",
+                    "baseline": "torch reference CPU, same workload, 171.8 words/s",
                 },
             }
         )
