@@ -54,7 +54,11 @@ def main():
             fused = FusedMinsumDecoder.from_decoder(decoder, params)
             probe = jnp.zeros((256, code.N, code.Z), jnp.float32)
             jax.block_until_ready(fused(probe))
-            decode = jax.jit(lambda p, x: fused(x))
+            # no outer jit: the fused decoder jits its own body; an enclosing
+            # jit would inline the pallas_call and let XLA try to pin the
+            # whole [NZ, B] output in scoped VMEM (montecarlo._build_step
+            # keeps the same jit boundary for the same reason)
+            decode = lambda p, x: fused(x)  # noqa: E731
         except Exception as e:  # pragma: no cover - resilience for the driver
             print(f"fused kernel unavailable ({type(e).__name__}); XLA path", file=sys.stderr)
     if decode is None:

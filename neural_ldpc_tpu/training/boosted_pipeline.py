@@ -85,13 +85,29 @@ class BoostedPipeline:
         self.channel = channel
         self.base_config = base_config
         self.base_train = base_train
+        # gate post_train_ucn_only on the EFFECTIVE extended config: a
+        # post_ucn_sharing of None keeps the base config's UCN mode, which may
+        # itself enable UCN sharing — truthiness of post_ucn_sharing alone
+        # would silently drop the UCN-only restriction in that case
+        from ..structs import SharingMode
+
+        effective_ucn = (
+            pipeline.post_ucn_sharing
+            if pipeline.post_ucn_sharing is not None
+            else base_config.sharing.ucn
+        )
+        if pipeline.post_train_ucn_only and effective_ucn == SharingMode.NONE:
+            raise ValueError(
+                "post_train_ucn_only requires UCN sharing in the extended "
+                "decoder (set post_ucn_sharing or enable it in base_config)"
+            )
         self.post_train = dataclasses.replace(
             post_train,
             training_iter_start=pipeline.base_iters,
             training_iter_end=pipeline.base_iters + pipeline.post_iters,
             train_only_params=(
                 ("weight_ucn",) if pipeline.post_train_ucn_only
-                and pipeline.post_ucn_sharing else post_train.train_only_params
+                else post_train.train_only_params
             ),
         )
         self.cfg = pipeline
@@ -162,7 +178,7 @@ class BoostedPipeline:
             except ValueError:
                 pass
         if decode_final is None:
-            decode_final = lambda p_, llr: decoder.apply(p_, llr)[-1]  # noqa: E731
+            decode_final = jax.jit(lambda p_, llr: decoder.apply(p_, llr)[-1])
 
         @jax.jit
         def fail_from_out(out, bits):
