@@ -1,0 +1,756 @@
+"""Fused Pallas training tier: multi-iteration BP decode with a hand-written
+backward kernel (custom VJP), so the *training* step rides VMEM-resident
+messages instead of streaming every per-iteration tensor through HBM.
+
+Closes the round-1 gap where training ran 60-500x slower than fused decode
+(`ops/pallas/minsum.py` is forward-only): the reference's training hot loop
+(train/train_BoostedNeuralLDPCDecoder.py:260-296 — forward all iterations,
+BCE over the per-iteration outputs, backward, Adam) maps here to
+
+  forward   one grid step per (batch-tile, iteration): the BP iteration runs
+            entirely in VMEM; only the iteration's APP output (needed by the
+            loss anyway) and the entering message state (the checkpoint the
+            backward pass restarts from) stream to HBM.
+  backward  the reverse grid: each step re-derives the iteration's
+            intermediates in VMEM from the stored entering state (one extra
+            routing matmul) and propagates the adjoint message/sum carries,
+            accumulating per-iteration weight gradients and the channel
+            gradient.
+
+Gradient semantics replicate the XLA flat path (ops/flat.py) *exactly*,
+including JAX's tie conventions (verified empirically on this image):
+clip/max gradients split 0.5 at boundaries, min-reductions split evenly
+among ties, the two-min extrinsic uses first-occurrence argmin, |x| has
+gradient +1 at 0, and sign() carries no gradient.  The pre-clip APP leaves
+the kernel unclipped so the final clip (and the channel-side STE quantizer)
+are differentiated by JAX outside the kernel.
+
+Kernel generality over ops/pallas/minsum.py (round-1 VERDICT items 4/8):
+  * arbitrary Z — each edge's Z-block is padded to a multiple of 8 sublanes
+    (the reference handles arbitrary Z by building (EZ)x(EZ) circulant
+    matmuls, src/boosted_neural_ldpc_decoder/ConnectingMatrix.py:84-99);
+  * checks are re-ordered by degree so the check-node reduction unrolls per
+    degree CLASS, not per check — code size is sum(distinct degrees), which
+    keeps compile time flat for BG1-scale codes;
+  * per-iteration outputs stream to HBM (iteration = a grid dimension), so
+    all-iterations decoding keeps the full batch tile.
+
+Supports MS and QMS (with the exact int8 MXU routing trick) plus UCN weight
+splits and VN input weights; SP training stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...codes.tanner import TannerGraph
+from ..quantize import _QMS_TABLE, qms_quantize_ste
+
+_BIG = 10000.0
+
+
+# ---------------------------------------------------------------------------
+# Degree-sorted, Z-padded graph layout
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class _TrainMeta:
+    """Static kernel metadata (hashable, closed over by the kernels)."""
+
+    M: int
+    N: int
+    Z: int
+    Zp: int  # Z padded to a multiple of 8 (sublane granularity)
+    E: int
+    NZ: int
+    NZp: int  # N*Z padded to a multiple of 8
+    deg_classes: tuple[tuple[int, int], ...]  # (degree, n_checks), sorted order
+    n_iterations: int
+    clip_lo: float
+    clip_hi: float
+    qms_qbit: Optional[int]
+    has_cn_w: bool
+    has_vn_w: bool
+    has_ucn: bool
+    int8_routing: bool
+    store_msgs: bool
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def build_layout(graph: TannerGraph):
+    """Degree-sorted check order + per-edge Z padding.
+
+    Returns (edge_perm [E] new->old, deg_classes, R [NZp, E*Zp]).  The one-hot
+    routing operand absorbs the lifting roll exactly like ops/flat.py's R, on
+    the permuted/padded edge axis; pad columns (z >= Z) are all-zero so padded
+    message rows route to nothing.
+    """
+    degs = np.diff(graph.row_ptr)
+    if degs.min() < 2:
+        raise ValueError("degree-1 checks unsupported (extrinsic min undefined)")
+    order = np.argsort(degs, kind="stable")
+    edge_perm = np.concatenate(
+        [np.arange(graph.row_ptr[m], graph.row_ptr[m + 1]) for m in order]
+    ).astype(np.int32)
+    deg_classes = []
+    for d in degs[order]:
+        if deg_classes and deg_classes[-1][0] == d:
+            deg_classes[-1][1] += 1
+        else:
+            deg_classes.append([int(d), 1])
+    deg_classes = tuple((d, n) for d, n in deg_classes)
+
+    Z, Zp = graph.Z, _round8(graph.Z)
+    NZ, NZp = graph.N * Z, _round8(graph.N * Z)
+    E = graph.E
+    R = np.zeros((NZp, E * Zp), np.float32)
+    zc = np.arange(Z)
+    for k, e in enumerate(edge_perm):
+        zv = (zc + graph.shift_of_edge[e]) % Z
+        R[graph.vn_of_edge[e] * Z + zv, k * Zp + zc] = 1.0
+    return edge_perm, deg_classes, R
+
+
+def _class_ranges(meta: _TrainMeta):
+    """Yield (row_base, degree, n_checks) per degree class (rows = msg rows)."""
+    base = 0
+    for d, n in meta.deg_classes:
+        yield base, d, n
+        base += d * n * meta.Zp
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math helpers
+# ---------------------------------------------------------------------------
+def _quantize(x, qbit):
+    lo, hi, scale = _QMS_TABLE[qbit]
+    return jnp.clip(jnp.round(x * scale) / scale, lo, hi)
+
+
+def _clip_or_quant(x, meta: _TrainMeta):
+    if meta.qms_qbit is not None:
+        return _quantize(x, meta.qms_qbit)
+    return jnp.clip(x, meta.clip_lo, meta.clip_hi)
+
+
+def _msg_range(meta: _TrainMeta):
+    if meta.qms_qbit is not None:
+        lo, hi, _ = _QMS_TABLE[meta.qms_qbit]
+        return lo, hi
+    return meta.clip_lo, meta.clip_hi
+
+
+def _clip_grad_mask(x, lo, hi):
+    """Gradient of jnp.clip (= min(max(x, lo), hi)) with JAX's balanced-tie
+    convention: 1 inside, 0.5 at either boundary, 0 outside."""
+    gmax = jnp.where(x > lo, 1.0, jnp.where(x == lo, 0.5, 0.0))
+    y = jnp.maximum(x, lo)
+    gmin = jnp.where(y < hi, 1.0, jnp.where(y == hi, 0.5, 0.0))
+    return gmax * gmin
+
+
+def _relu_grad_mask(x):
+    """Gradient of jnp.maximum(x, 0): 1 above, 0.5 at 0, 0 below."""
+    return jnp.where(x > 0, 1.0, jnp.where(x == 0, 0.5, 0.0))
+
+
+def _route_fwd(rt_ref, x, meta: _TrainMeta, routing_dtype):
+    """VN-side [NZp, bt] -> edge-side [EZp*, bt] (lift roll absorbed)."""
+    if meta.int8_routing:
+        _, q_hi, q_scale = _QMS_TABLE[meta.qms_qbit]
+        t_clip = 2.0 * q_hi
+        x8 = jnp.round(jnp.clip(x, -t_clip, t_clip) * q_scale).astype(jnp.int8)
+        return jnp.dot(rt_ref[:], x8, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        ) * (1.0 / q_scale)
+    return jnp.dot(rt_ref[:], x.astype(routing_dtype), preferred_element_type=jnp.float32)
+
+
+def _route_bwd_mat(mat_ref, g, routing_dtype):
+    """Adjoint routing matmul on gradients (always float — grads are not on
+    the quantization grid, so the int8 trick does not apply)."""
+    return jnp.dot(mat_ref[:], g.astype(routing_dtype), preferred_element_type=jnp.float32)
+
+
+def _cn_minsum_classes(v2c, meta: _TrainMeta):
+    """Forward extrinsic min-sum per degree class: [rows, bt] -> [rows, bt]."""
+    bt = v2c.shape[1]
+    outs = []
+    for base, d, n in _class_ranges(meta):
+        seg = v2c[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
+        mag = jnp.abs(seg)
+        sgn = jnp.where(seg >= 0, 1.0, -1.0)
+
+        pre = [None] * d
+        suf = [None] * d
+        acc = jnp.full_like(mag[:, 0], _BIG)
+        for j in range(d):
+            pre[j] = acc
+            acc = jnp.minimum(acc, mag[:, j])
+        acc = jnp.full_like(mag[:, 0], _BIG)
+        for j in reversed(range(d)):
+            suf[j] = acc
+            acc = jnp.minimum(acc, mag[:, j])
+        total_sign = sgn[:, 0]
+        for j in range(1, d):
+            total_sign = total_sign * sgn[:, j]
+
+        rows = []
+        for j in range(d):
+            rows.append(jnp.minimum(pre[j], suf[j]) * (total_sign * sgn[:, j]))
+        outs.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _cn_minsum_fwd_bwd_classes(v2c, g_extrmin_fn, meta: _TrainMeta):
+    """Recompute the extrinsic min-sum AND backpropagate through it in one
+    pass, replicating the XLA two-min formulation's autodiff exactly:
+
+      m1 = min |v2c|; am = first-occurrence argmin; m2 = min excluding slot am
+      extr_e = m2 if slot_e == am else m1
+      g_m1 = sum over non-am edges of g_extr; g_m2 = g_extr at am
+      g_|v2c|_j = g_m1 * [|v2c|_j == m1]/#ties(m1) + g_m2 * [masked_j == m2]/#ties(m2)
+      g_v2c = g_|v2c| * (v2c >= 0 ? 1 : -1)        (JAX abs convention)
+
+    ``g_extrmin_fn(c2v, extr_sgn, extr_min)`` receives the forward result and
+    returns (g_extrmin [rows, bt], outputs...) so weighting/quantization
+    gradients are computed where the forward values are live.  Returns
+    (g_v2c, outputs...).
+    """
+    bt = v2c.shape[1]
+    c2v_parts, aux = [], []
+    for base, d, n in _class_ranges(meta):
+        seg = v2c[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
+        mag = jnp.abs(seg)
+        sgn = jnp.where(seg >= 0, 1.0, -1.0)
+
+        pre = [None] * d
+        acc = jnp.full_like(mag[:, 0], _BIG)
+        for j in range(d):
+            pre[j] = acc
+            acc = jnp.minimum(acc, mag[:, j])
+        m1 = acc
+        suf = [None] * d
+        acc = jnp.full_like(mag[:, 0], _BIG)
+        for j in reversed(range(d)):
+            suf[j] = acc
+            acc = jnp.minimum(acc, mag[:, j])
+        total_sign = sgn[:, 0]
+        for j in range(1, d):
+            total_sign = total_sign * sgn[:, j]
+
+        # first-occurrence argmin one-hot + second min over the masked array
+        f = [ (mag[:, j] == m1) & (pre[j] > m1) for j in range(d) ]
+        masked = [jnp.where(f[j], _BIG, mag[:, j]) for j in range(d)]
+        m2 = masked[0]
+        for j in range(1, d):
+            m2 = jnp.minimum(m2, masked[j])
+
+        extr_min = [jnp.where(f[j], m2, jnp.minimum(pre[j], suf[j])) for j in range(d)]
+        extr_sgn = [total_sign * sgn[:, j] for j in range(d)]
+        c2v_parts.append(
+            jnp.stack([extr_sgn[j] * extr_min[j] for j in range(d)], axis=1).reshape(
+                d * n * meta.Zp, bt
+            )
+        )
+        aux.append((base, d, n, mag, sgn, m1, m2, f))
+    c2v = jnp.concatenate(c2v_parts, axis=0)
+
+    g_extrmin, *outputs = g_extrmin_fn(c2v)
+
+    g_parts = []
+    for base, d, n, mag, sgn, m1, m2, f in aux:
+        ge = g_extrmin[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
+        g_m1 = jnp.zeros_like(m1)
+        g_m2 = jnp.zeros_like(m1)
+        for j in range(d):
+            g_m1 = g_m1 + jnp.where(f[j], 0.0, ge[:, j])
+            g_m2 = g_m2 + jnp.where(f[j], ge[:, j], 0.0)
+        t1 = [mag[:, j] == m1 for j in range(d)]
+        c1 = t1[0].astype(jnp.float32)
+        for j in range(1, d):
+            c1 = c1 + t1[j]
+        t2 = [(jnp.where(f[j], _BIG, mag[:, j]) == m2) for j in range(d)]
+        c2 = t2[0].astype(jnp.float32)
+        for j in range(1, d):
+            c2 = c2 + t2[j]
+        g1 = g_m1 / c1
+        g2 = g_m2 / jnp.maximum(c2, 1.0)  # c2 == 0 only if deg < 2 (excluded)
+        rows = []
+        for j in range(d):
+            g_mag_j = jnp.where(t1[j], g1, 0.0) + jnp.where(t2[j], g2, 0.0)
+            rows.append(g_mag_j * jnp.where(mag[:, j] == 0.0, 1.0, sgn[:, j]))
+        g_parts.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
+    return (jnp.concatenate(g_parts, axis=0), *outputs)
+
+
+def _ucn_mask_classes(sign_e, meta: _TrainMeta):
+    """Per-edge unsatisfied-check indicator from routed decision signs."""
+    bt = sign_e.shape[1]
+    outs = []
+    for base, d, n in _class_ranges(meta):
+        seg = sign_e[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
+        parity = seg[:, 0]
+        for j in range(1, d):
+            parity = parity * seg[:, j]
+        ucn = jnp.where(parity < 0, 1.0, 0.0)
+        outs.append(
+            jnp.broadcast_to(ucn[:, None], (n, d, meta.Zp, bt)).reshape(
+                d * n * meta.Zp, bt
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def _ucn_mask_from_app(app, rt_ref, meta: _TrainMeta, routing_dtype):
+    dsign = jnp.where(app < 0, -1.0, 1.0)
+    if meta.int8_routing:
+        s_route = jnp.dot(
+            rt_ref[:], dsign.astype(jnp.int8), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        s_route = jnp.dot(
+            rt_ref[:], dsign.astype(routing_dtype), preferred_element_type=jnp.float32
+        )
+    return _ucn_mask_classes(jnp.where(s_route < 0, -1.0, 1.0), meta)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: grid (batch_tiles, iterations), one BP iteration per step
+# ---------------------------------------------------------------------------
+def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_ref,
+                cnw_ref, vnw_ref, ucnw_ref, *refs):
+    if meta.store_msgs:
+        out_ref, store_ref, msg_scr, sums_scr = refs
+    else:
+        out_ref, msg_scr, sums_scr = refs
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        msg_scr[:] = jnp.zeros_like(msg_scr)
+        sums_scr[:] = jnp.zeros_like(sums_scr)
+
+    if meta.store_msgs:
+        store_ref[0] = msg_scr[:]  # message state ENTERING iteration i
+
+    chan = chan_ref[:]
+    chan_out = chanq_ref[:]
+
+    if meta.has_vn_w:
+        xa = chan * vnw_ref[0]
+        xa_q = _quantize(xa, meta.qms_qbit) if meta.qms_qbit is not None else xa
+    else:
+        xa_q = chan_out  # = Q(chan) under QMS, chan otherwise
+
+    if meta.has_ucn:
+        prev_app = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
+        app = jnp.where(i == 0, xa_q, prev_app)
+        ucn_mask = _ucn_mask_from_app(app, rt_ref, meta, routing_dtype)
+
+    routed = _route_fwd(rt_ref, xa_q + sums_scr[:], meta, routing_dtype)
+    v2c = _clip_or_quant(routed - msg_scr[:], meta)
+    c2v = _cn_minsum_classes(v2c, meta)
+
+    w_mag = jnp.abs(c2v)
+    if meta.has_ucn:
+        w_mag = w_mag * cnw_ref[0] * (1.0 - ucn_mask) + w_mag * ucnw_ref[0] * ucn_mask
+    elif meta.has_cn_w:
+        w_mag = w_mag * cnw_ref[0]
+    w_mag = jnp.maximum(w_mag, 0.0)
+    w_mag = _clip_or_quant(w_mag, meta)
+    new_msg = w_mag * jnp.sign(c2v)
+
+    msg_scr[:] = new_msg
+    if meta.int8_routing:
+        _, _, q_scale = _QMS_TABLE[meta.qms_qbit]
+        m8 = jnp.round(new_msg * q_scale).astype(jnp.int8)
+        sums_scr[:] = jnp.dot(
+            r_ref[:], m8, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (1.0 / q_scale)
+    else:
+        sums_scr[:] = jnp.dot(
+            r_ref[:], new_msg.astype(routing_dtype), preferred_element_type=jnp.float32
+        )
+    # PRE-clip APP: the final clip is differentiated outside the kernel
+    out_ref[0] = chan_out + sums_scr[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
+)
+def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
+             routing_dtype, interpret):
+    NZp, B = chan.shape
+    EZp = rt.shape[0]
+    I = meta.n_iterations
+    grid = (B // bt, I)
+    kernel = functools.partial(_fwd_kernel, meta, routing_dtype)
+    iter_block = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda bi, i: (i,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
+    ]
+    if meta.store_msgs:
+        out_shapes.append(jax.ShapeDtypeStruct((I, EZp, B), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, EZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
+        )
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EZp, NZp), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, EZp), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            iter_block((1, EZp, 1)),
+            iter_block((1, NZp, 1)),
+            iter_block((1, EZp, 1)),
+        ],
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((EZp, bt), jnp.float32),
+            pltpu.VMEM((NZp, bt), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=interpret,
+    )(chan, chanq, rt, r, cnw, vnw, ucnw)
+    return res if meta.store_msgs else (res, None)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: reversed grid, adjoint of one BP iteration per step
+# ---------------------------------------------------------------------------
+def _bwd_kernel(meta: _TrainMeta, routing_dtype,
+                chan_ref, chanq_ref, rt_ref, r_ref, cnw_ref, vnw_ref, ucnw_ref,
+                store_ref, outs_ref, prevout_ref, gout_ref,
+                gcnw_ref, gvnw_ref, gucnw_ref, gchan_ref, gchanq_ref,
+                gmsg_scr, gsums_scr):
+    I = meta.n_iterations
+    j = pl.program_id(1)
+    i = I - 1 - j  # the iteration this step differentiates
+
+    @pl.when(j == 0)
+    def _init():
+        gmsg_scr[:] = jnp.zeros_like(gmsg_scr)
+        gsums_scr[:] = jnp.zeros_like(gsums_scr)
+        gchan_ref[:] = jnp.zeros_like(gchan_ref)
+        gchanq_ref[:] = jnp.zeros_like(gchanq_ref)
+
+    chan = chan_ref[:]
+    chan_out = chanq_ref[:]
+    msg_prev = store_ref[0]  # message state entering iteration i
+    g_out = gout_ref[0]  # cotangent of the PRE-clip APP of iteration i
+
+    # ---- recompute iteration i's forward intermediates ----
+    if meta.int8_routing:
+        _, _, q_scale = _QMS_TABLE[meta.qms_qbit]
+        m8 = jnp.round(msg_prev * q_scale).astype(jnp.int8)
+        sums_prev = jnp.dot(
+            r_ref[:], m8, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (1.0 / q_scale)
+    else:
+        sums_prev = jnp.dot(
+            r_ref[:], msg_prev.astype(routing_dtype), preferred_element_type=jnp.float32
+        )
+
+    if meta.has_vn_w:
+        xa = chan * vnw_ref[0]
+        if meta.qms_qbit is not None:
+            xa_q = _quantize(xa, meta.qms_qbit)
+            lo_q, hi_q, _ = _QMS_TABLE[meta.qms_qbit]
+            mask_xa = _clip_grad_mask(xa, lo_q, hi_q)
+        else:
+            xa_q = xa
+            mask_xa = jnp.ones_like(xa)
+    else:
+        xa_q = chan_out
+
+    if meta.has_ucn:
+        prev_pre = prevout_ref[0]  # pre-clip APP of iteration i-1 (garbage at i=0)
+        prev_app = jnp.clip(prev_pre, meta.clip_lo, meta.clip_hi)
+        app = jnp.where(i == 0, xa_q, prev_app)
+        ucn_mask = _ucn_mask_from_app(app, rt_ref, meta, routing_dtype)
+        scn_mask = 1.0 - ucn_mask
+
+    routed = _route_fwd(rt_ref, xa_q + sums_prev, meta, routing_dtype)
+    v2c_pre = routed - msg_prev
+    lo_m, hi_m = _msg_range(meta)
+    mask_v2c = _clip_grad_mask(v2c_pre, lo_m, hi_m)
+    v2c = _clip_or_quant(v2c_pre, meta)
+
+    # ---- adjoint of the post-CN chain, fused with the min-sum recompute ----
+    # out_pre_i = chan_out + sums_i  ->  g_sums_i = g_out (+ carry)
+    g_sums_total = gsums_scr[:] + g_out
+    # sums_i = R @ msg_i  ->  g_msg_i += R^T @ g_sums_i  (+ carry)
+    g_msg_total = gmsg_scr[:] + _route_bwd_mat(rt_ref, g_sums_total, routing_dtype)
+
+    def g_extrmin_fn(c2v):
+        mag = jnp.abs(c2v)  # == extrinsic min, >= 0
+        if meta.has_ucn:
+            w_eff = cnw_ref[0] * scn_mask + ucnw_ref[0] * ucn_mask
+        elif meta.has_cn_w:
+            w_eff = jnp.broadcast_to(cnw_ref[0], mag.shape)
+        else:
+            w_eff = jnp.ones_like(mag)
+        wm_pre = mag * w_eff
+        wm_relu = jnp.maximum(wm_pre, 0.0)
+        # msg_i = Q(wm_relu) * sign(c2v); sign() has no gradient, sign(0) = 0
+        s_nz = jnp.sign(c2v)
+        g_wm_q = g_msg_total * s_nz
+        g_wm_relu = g_wm_q * _clip_grad_mask(wm_relu, lo_m, hi_m)
+        g_wm_pre = g_wm_relu * _relu_grad_mask(wm_pre)
+        g_w = g_wm_pre * mag
+        if meta.has_ucn:
+            g_cnw = jnp.sum(g_w * scn_mask, axis=1, keepdims=True)
+            g_ucnw = jnp.sum(g_w * ucn_mask, axis=1, keepdims=True)
+        elif meta.has_cn_w:
+            g_cnw = jnp.sum(g_w, axis=1, keepdims=True)
+            g_ucnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
+        else:
+            g_cnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
+            g_ucnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
+        g_extrmin = g_wm_pre * w_eff  # |c2v| gradient cancels the sign exactly
+        return g_extrmin, g_cnw, g_ucnw
+
+    g_v2c, g_cnw_i, g_ucnw_i = _cn_minsum_fwd_bwd_classes(v2c, g_extrmin_fn, meta)
+
+    g_v2c_pre = g_v2c * mask_v2c
+    # v2c_pre = routed - msg_prev
+    g_msg_carry = -g_v2c_pre
+    # routed = R^T @ T, T = xa_q + sums_prev
+    g_T = _route_bwd_mat(r_ref, g_v2c_pre, routing_dtype)
+    gsums_scr[:] = g_T  # cotangent of sums_{i-1}, consumed by the next step
+    gmsg_scr[:] = g_msg_carry
+
+    # channel-side gradients
+    gchanq_ref[:] += g_out  # out_pre_i = chanq + sums_i
+    if meta.has_vn_w:
+        g_xa = g_T * mask_xa
+        gvnw_ref[0, 0] = jnp.sum(g_xa * chan, axis=1, keepdims=True)
+        gchan_ref[:] += g_xa * vnw_ref[0]
+    else:
+        gchanq_ref[:] += g_T  # xa_q IS chanq
+        gvnw_ref[0, 0] = jnp.zeros_like(gvnw_ref[0, 0])
+    gcnw_ref[0, 0] = g_cnw_i
+    gucnw_ref[0, 0] = g_ucnw_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
+)
+def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
+             meta: _TrainMeta, bt: int, routing_dtype, interpret):
+    NZp, B = chan.shape
+    EZp = rt.shape[0]
+    I = meta.n_iterations
+    nb = B // bt
+    grid = (nb, I)
+    kernel = functools.partial(_bwd_kernel, meta, routing_dtype)
+    rev = lambda j: I - 1 - j  # noqa: E731
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EZp, NZp), lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, EZp), lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
+            # pre-clip APP of iteration i-1 (block 0 read harmlessly at i=0)
+            pl.BlockSpec(
+                (1, NZp, bt),
+                lambda bi, j: (jnp.maximum(rev(j) - 1, 0), 0, bi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, EZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, EZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, I, EZp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, I, NZp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, I, EZp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NZp, B), jnp.float32),
+            jax.ShapeDtypeStruct((NZp, B), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((EZp, bt), jnp.float32),
+            pltpu.VMEM((NZp, bt), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=interpret,
+    )(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, outs, g_outs)
+    g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq = res
+    return (
+        g_cnw_b.sum(axis=0),  # [I, EZp, 1]
+        g_vnw_b.sum(axis=0),  # [I, NZp, 1]
+        g_ucnw_b.sum(axis=0),
+        g_chan,
+        g_chanq,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper with custom VJP
+# ---------------------------------------------------------------------------
+class FusedTrainDecoder:
+    """Differentiable fused decoder: ``apply(cn_w, ucn_w, vn_w, chan)`` returns
+    the per-iteration APP [I, B, N*Z] with gradients flowing through the
+    Pallas forward/backward kernels.
+
+    Also serves as the general streaming forward (``decode`` /
+    ``apply(..., with_grad=False)``): arbitrary Z, degree-class compiled,
+    per-iteration outputs at full batch tiles.
+    """
+
+    def __init__(
+        self,
+        graph: TannerGraph,
+        n_iterations: int,
+        clip: tuple[float, float] = (-20.0, 20.0),
+        qms_qbit: Optional[int] = None,
+        has_cn_w: bool = True,
+        has_vn_w: bool = False,
+        has_ucn: bool = False,
+        bt: Optional[int] = None,
+        routing_dtype=jnp.bfloat16,
+        int8_routing: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
+            raise ValueError(f"unsupported qms_qbit {qms_qbit}")
+        if int8_routing is None:
+            int8_routing = qms_qbit is not None and not interpret
+        if int8_routing and qms_qbit is None:
+            raise ValueError("int8 routing needs QMS quantization")
+        if has_ucn and not has_cn_w:
+            raise ValueError("UCN weighting requires CN weights")
+        self.graph = graph
+        edge_perm, deg_classes, R = build_layout(graph)
+        self.edge_perm = jnp.asarray(edge_perm)
+        Z, Zp = graph.Z, _round8(graph.Z)
+        NZ, NZp = graph.N * Z, _round8(graph.N * Z)
+        self.meta = _TrainMeta(
+            M=graph.M, N=graph.N, Z=Z, Zp=Zp, E=graph.E, NZ=NZ, NZp=NZp,
+            deg_classes=deg_classes, n_iterations=n_iterations,
+            clip_lo=float(clip[0]), clip_hi=float(clip[1]),
+            qms_qbit=qms_qbit, has_cn_w=has_cn_w, has_vn_w=has_vn_w,
+            has_ucn=has_ucn, int8_routing=int8_routing, store_msgs=True,
+        )
+        if bt is None:
+            bt = 256 if graph.E * Zp > 2500 else 512
+        self.bt = bt
+        self.routing_dtype = routing_dtype
+        self.interpret = interpret
+        operand_dtype = jnp.int8 if int8_routing else routing_dtype
+        self._r = jnp.asarray(R, operand_dtype)
+        self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
+
+        self._vjp = jax.custom_vjp(self._primal)
+        self._vjp.defvjp(self._vjp_fwd, self._vjp_bwd)
+
+    @staticmethod
+    def from_decoder(decoder, **kw) -> "FusedTrainDecoder":
+        """Static-config construction from a BoostedNeuralDecoder (the params
+        arrive per call via ``apply`` so gradients flow)."""
+        from ...structs import Convention, DecoderType, SharingMode
+
+        cfg = decoder.config
+        if cfg.convention == Convention.REFERENCE:
+            raise ValueError("fused training implements the STANDARD convention")
+        if cfg.decoder_type == DecoderType.SP:
+            raise ValueError("SP training stays on the XLA path (tanh-domain bwd)")
+        return FusedTrainDecoder(
+            decoder.graph,
+            n_iterations=cfg.n_iterations,
+            clip=(cfg.allowed_llr_range.start, cfg.allowed_llr_range.end),
+            qms_qbit=cfg.qms_qbit if cfg.decoder_type == DecoderType.QMS else None,
+            has_cn_w=cfg.sharing.cn != SharingMode.NONE,
+            has_vn_w=cfg.sharing.vn != SharingMode.NONE,
+            has_ucn=cfg.sharing.ucn != SharingMode.NONE,
+            **kw,
+        )
+
+    # -- kernel-layout packing (differentiable, outside the custom VJP) -----
+    def _pack_edge_w(self, w):  # [I, E] -> [I, EZp, 1]
+        m = self.meta
+        w = w[:, self.edge_perm]
+        w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.E, m.Zp))
+        return w.reshape(m.n_iterations, m.E * m.Zp, 1)
+
+    def _pack_vn_w(self, w):  # [I, N] -> [I, NZp, 1]
+        m = self.meta
+        w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.N, m.Z)).reshape(
+            m.n_iterations, m.NZ
+        )
+        w = jnp.pad(w, ((0, 0), (0, m.NZp - m.NZ)))
+        return w[:, :, None]
+
+    def _primal(self, cnw, vnw, ucnw, chan, chanq):
+        outs, _ = _fwd_run(
+            chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
+            self.meta, self.bt, self.routing_dtype, self.interpret,
+        )
+        return outs
+
+    def _vjp_fwd(self, cnw, vnw, ucnw, chan, chanq):
+        outs, store = _fwd_run(
+            chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
+            self.meta, self.bt, self.routing_dtype, self.interpret,
+        )
+        return outs, (cnw, vnw, ucnw, chan, chanq, store, outs)
+
+    def _vjp_bwd(self, res, g_outs):
+        cnw, vnw, ucnw, chan, chanq, store, outs = res
+        g_cnw, g_vnw, g_ucnw, g_chan, g_chanq = _bwd_run(
+            chan, chanq, self._rt, self._r, cnw, vnw, ucnw, store, outs, g_outs,
+            self.meta, self.bt, self.routing_dtype, self.interpret,
+        )
+        return g_cnw, g_vnw, g_ucnw, g_chan, g_chanq
+
+    # -- public API ---------------------------------------------------------
+    def apply(self, cn_w, ucn_w, vn_w, chan_llr):
+        """cn_w/ucn_w [I, E] or None, vn_w [I, N] or None (original edge
+        order, as produced by BoostedNeuralDecoder._expanded_weights);
+        chan_llr [B, N, Z] or [B, N*Z].  Returns per-iteration APP
+        [I, B, N*Z], differentiable w.r.t. weights and channel."""
+        m = self.meta
+        B = chan_llr.shape[0]
+        x = chan_llr.reshape(B, m.NZ).astype(jnp.float32)
+        x = jnp.pad(x, ((0, (-B) % self.bt), (0, m.NZp - m.NZ)))
+        chan = x.T  # [NZp, Bp]
+        chanq = (
+            qms_quantize_ste(chan, m.qms_qbit) if m.qms_qbit is not None else chan
+        )
+        ones_e = jnp.ones((m.n_iterations, m.E), jnp.float32)
+        ones_n = jnp.ones((m.n_iterations, m.N), jnp.float32)
+        cnw = self._pack_edge_w(cn_w if m.has_cn_w and cn_w is not None else ones_e)
+        ucnw = self._pack_edge_w(ucn_w if m.has_ucn and ucn_w is not None else ones_e)
+        vnw = self._pack_vn_w(vn_w if m.has_vn_w and vn_w is not None else ones_n)
+        outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
+        outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
+        return jnp.swapaxes(outs[:, : m.NZ, :B], 1, 2)  # [I, B, NZ]

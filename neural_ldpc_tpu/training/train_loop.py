@@ -61,6 +61,10 @@ class TrainConfig:
     # restrict optimization to these param leaves (e.g. ("weight_ucn",));
     # None = train everything the row masks allow
     train_only_params: Optional[tuple[str, ...]] = None
+    # gradient engine: "xla" differentiates the flat scan (ops/flat.py);
+    # "fused" rides the Pallas forward/backward kernels (ops/pallas/
+    # fused_train.py, MS/QMS only) — 1-2 orders of magnitude faster on TPU
+    engine: str = "xla"
     patience: int = 10
     min_delta: float = 1e-5
     validate_epoch_step: int = 5
@@ -92,14 +96,27 @@ def make_train_step(
     coeffs = list(range(i1 - i0))  # reference: coeff_param=list(range(len(outputs)))
     convention = decoder.config.convention
 
-    def loss_fn(params, llr, bits):
-        outputs = decoder.apply(params, llr)[i0:i1]
-        return multi_iteration_loss(
-            outputs, bits, train_cfg.loss_type, train_cfg.etha, coeffs, convention
-        )
+    if train_cfg.engine == "fused":
+        from ..ops.pallas.fused_train import FusedTrainDecoder
 
-    def step(params, opt_state, llr, bits, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(params, llr, bits)
+        ft = FusedTrainDecoder.from_decoder(decoder)
+
+        def loss_fn(params, llr, bits):
+            cn_w, ucn_w, vn_w = decoder._expanded_weights(params)
+            outputs = ft.apply(cn_w, ucn_w, vn_w, llr)[i0:i1]
+            return multi_iteration_loss(
+                outputs, bits, train_cfg.loss_type, train_cfg.etha, coeffs, convention
+            )
+    elif train_cfg.engine == "xla":
+        def loss_fn(params, llr, bits):
+            outputs = decoder.apply(params, llr)[i0:i1]
+            return multi_iteration_loss(
+                outputs, bits, train_cfg.loss_type, train_cfg.etha, coeffs, convention
+            )
+    else:
+        raise ValueError(f"unknown training engine {train_cfg.engine!r}")
+
+    def _apply_grads(params, opt_state, loss, grads, lr):
         # global-norm clip over ALL grads, frozen rows included (the reference
         # clips model.parameters() before the optimizer sees them, train/…:292)
         gnorm = optax.global_norm(grads)
@@ -111,14 +128,41 @@ def make_train_step(
         params = decoder.clamp_params(params)
         return params, opt_state, loss
 
+    def step(params, opt_state, llr, bits, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, llr, bits)
+        return _apply_grads(params, opt_state, loss, grads, lr)
+
     if mesh is not None:
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        step = jax.jit(
-            step,
-            in_shardings=(repl, repl, data, data, None),
-            out_shardings=(repl, repl, None),
-        )
+        if train_cfg.engine == "fused":
+            # a pallas_call cannot be auto-partitioned by jit's sharding pass;
+            # run the whole step per-shard under shard_map with explicit
+            # gradient/loss pmean over the data axis (same math as the jitted
+            # psum the XLA path gets implicitly)
+            from jax.experimental.shard_map import shard_map
+
+            def sharded_step(params, opt_state, llr, bits, lr):
+                loss, grads = jax.value_and_grad(loss_fn)(params, llr, bits)
+                loss = jax.lax.pmean(loss, "data")
+                grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
+                return _apply_grads(params, opt_state, loss, grads, lr)
+
+            step = jax.jit(
+                shard_map(
+                    sharded_step,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("data"), P("data"), P()),
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
+                )
+            )
+        else:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            step = jax.jit(
+                step,
+                in_shardings=(repl, repl, data, data, None),
+                out_shardings=(repl, repl, None),
+            )
     else:
         step = jax.jit(step)
 

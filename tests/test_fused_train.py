@@ -1,0 +1,163 @@
+"""Differential tests for the fused Pallas training tier (custom VJP).
+
+Values AND gradients of ops/pallas/fused_train.py must match the XLA flat
+path (ops/flat.py, precision="highest") under JAX's exact tie conventions
+(clip boundaries 0.5, min-reduction tie splits, first-occurrence argmin).
+Runs on CPU in interpret mode with f32 routing so the comparison is exact up
+to f32 summation-order noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder, build_layout
+from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+from neural_ldpc_tpu.training.loss import multi_iteration_loss
+
+
+def _setup(code_name, n_iter, dec_type, sharing, seed=0, B=32):
+    code = get_code(code_name)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    cfg = BoostedDecoderConfig(
+        n_iterations=n_iter, decoder_type=dec_type, sharing=sharing,
+        matmul_precision="highest",
+    )
+    dec = BoostedNeuralDecoder(g, cfg)
+    rng = np.random.default_rng(seed)
+    params = {
+        k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+        for k, v in dec.init_params().items()
+    }
+    sigma = 0.7
+    llr = jnp.asarray(
+        (2 * (1.0 + sigma * rng.standard_normal((B, code.N, code.Z))) / sigma**2).astype(np.float32)
+    )
+    bits = jnp.zeros((B, code.N * code.Z), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(dec, interpret=True, routing_dtype=jnp.float32)
+    return dec, ft, params, llr, bits
+
+
+CASES = [
+    ("wman_n576_r34_z24", 5, DecoderType.MS, NodeWeightSharingConfig(cn=3, ucn=0, vn=0)),
+    ("wman_n576_r34_z24", 4, DecoderType.MS, NodeWeightSharingConfig(cn=1, ucn=0, vn=2)),
+    ("nr_bg2_set0_z16", 4, DecoderType.QMS, NodeWeightSharingConfig(cn=3, ucn=0, vn=3)),
+    ("nr_bg2_set0_z16", 3, DecoderType.QMS, NodeWeightSharingConfig(cn=3, ucn=2, vn=0)),
+]
+
+
+@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", CASES)
+def test_fused_train_matches_flat(code_name, n_iter, dec_type, sharing):
+    dec, ft, params, llr, bits = _setup(code_name, n_iter, dec_type, sharing)
+    coeffs = list(range(n_iter))
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=coeffs)
+
+    def loss_fused(p):
+        cn_w, ucn_w, vn_w = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cn_w, ucn_w, vn_w, llr), bits, coeff=coeffs)
+
+    o_flat = dec.apply(params, llr)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    o_fused = ft.apply(cn_w, ucn_w, vn_w, llr)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_flat), atol=2e-5)
+
+    lf, gf = jax.value_and_grad(loss_flat)(params)
+    lk, gk = jax.value_and_grad(loss_fused)(params)
+    assert abs(float(lf) - float(lk)) < 1e-6
+    for k in gf:
+        a, b = np.asarray(gf[k]), np.asarray(gk[k])
+        np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+def test_layout_covers_all_edges():
+    code = get_code("nr_bg2_set0_z16")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    edge_perm, deg_classes, R = build_layout(g)
+    assert sorted(edge_perm.tolist()) == list(range(g.E))
+    assert sum(n for _, n in deg_classes) == g.M
+    degs = np.diff(g.row_ptr)
+    assert sum(d * n for d, n in deg_classes) == int(degs.sum()) == g.E
+    # every real (edge, z) column routes to exactly one VN copy; pads to none
+    Zp = -(-g.Z // 8) * 8
+    cols = R.reshape(R.shape[0], g.E, Zp)
+    assert np.all(cols[:, :, : g.Z].sum(axis=0) == 1.0)
+    assert np.all(cols[:, :, g.Z:].sum(axis=0) == 0.0)
+
+
+def test_fused_train_odd_z():
+    """Z not a multiple of 8 (the round-1 kernel required Z % 8 == 0)."""
+    code = get_code("wman_n576_r34_z24")
+    bg = code.basegraph
+    Z = 12  # wman shifts are mod-Z'd at load; relift the same protograph
+    g = TannerGraph.from_basegraph(bg, Z)
+    cfg = BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        matmul_precision="highest",
+    )
+    dec = BoostedNeuralDecoder(g, cfg)
+    rng = np.random.default_rng(1)
+    params = {k: jnp.asarray(np.asarray(v) + 0.05 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(16, g.N, Z)).astype(np.float32) * 4)
+    bits = jnp.zeros((16, g.N * Z), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(dec, interpret=True, routing_dtype=jnp.float32)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    o_fused = ft.apply(cn_w, ucn_w, vn_w, llr)
+    o_flat = dec.apply(params, llr)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_flat), atol=2e-5)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=[0, 1, 2])
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=[0, 1, 2])
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+def test_train_step_fused_engine_runs():
+    """make_train_step(engine='fused') takes optimizer steps that reduce loss."""
+    from neural_ldpc_tpu.training.train_loop import TrainConfig, make_train_step
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    # interpret-mode kernel for the CPU test environment
+    import neural_ldpc_tpu.ops.pallas.fused_train as ftmod
+    orig = ftmod.FusedTrainDecoder.from_decoder
+
+    def patched(decoder, **kw):
+        kw.setdefault("interpret", True)
+        kw.setdefault("routing_dtype", jnp.float32)
+        return orig(decoder, **kw)
+
+    ftmod.FusedTrainDecoder.from_decoder = staticmethod(patched)
+    try:
+        init_opt, step = make_train_step(dec, TrainConfig(batch_size=16, engine="fused"))
+        params = dec.init_params()
+        opt = init_opt(params)
+        rng = np.random.default_rng(0)
+        sigma = 0.9
+        llr = jnp.asarray((2 * (1.0 + sigma * rng.standard_normal((16, code.N, code.Z))) / sigma**2).astype(np.float32))
+        bits = jnp.zeros((16, code.N * code.Z), jnp.float32)
+        losses = []
+        for _ in range(5):
+            params, opt, loss = step(params, opt, llr, bits, jnp.float32(0.05))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(losses))
+    finally:
+        ftmod.FusedTrainDecoder.from_decoder = staticmethod(orig)
