@@ -43,6 +43,10 @@ def build_parser():
                    help="use all-zero codewords for training")
     p.add_argument("--mesh-devices", type=int, default=None,
                    help="shard the batch over N devices (default: single device)")
+    p.add_argument("--resume", metavar="CKPT", default=None,
+                   help="resume standard-mode training from a checkpoint name "
+                        "in the configured checkpoint_dir (restores params, "
+                        "optimizer state, epoch and RNG)")
     p.add_argument("--dump-config", action="store_true",
                    help="print the resolved config JSON and exit")
     return p
@@ -124,7 +128,10 @@ def main(argv=None):
     else:
         decoder = BoostedNeuralDecoder(graph, cfg.build_decoder_config())
         trainer = Trainer(decoder, channel, cfg.build_train_config(), mesh=mesh)
-        params, _, summary = trainer.train()
+        if args.resume:
+            params, _, summary = trainer.resume(args.resume)
+        else:
+            params, _, summary = trainer.train()
         print("training done:", json.dumps({k: float(v) for k, v in summary.items()}))
     return 0
 

@@ -253,18 +253,45 @@ class Trainer:
             llr, bits = jax.device_put(llr, data), jax.device_put(bits, data)
         return llr, bits
 
-    def train(self, params=None, opt_state=None, start_epoch: int = 0):
+    def resume(self, checkpoint_name: str):
+        """Restore params / optimizer state / epoch / RNG from a checkpoint
+        written by ``train`` and continue training.  The continuation is
+        bitwise-identical to an uninterrupted run (the RNG key is saved at the
+        epoch boundary and the LR schedule is fast-forwarded)."""
+        params_t = self.decoder.init_params()
+        opt_t = self.init_opt_state(params_t)
+        params, opt_state, meta, rng_key, extras = self.checkpoints.load(
+            checkpoint_name, params_t, opt_t
+        )
+        if rng_key is None:
+            raise ValueError(f"checkpoint {checkpoint_name!r} has no rng_key")
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        params = jax.tree.map(jnp.asarray, params)
+        opt_state = jax.tree.map(jnp.asarray, opt_state)
+        return self.train(
+            params=params, opt_state=opt_state, start_epoch=start_epoch,
+            rng_key=rng_key,
+            best_loss=float(extras.get("best_loss", np.inf)),
+            patience_counter=int(extras.get("patience_counter", 0)),
+        )
+
+    def train(self, params=None, opt_state=None, start_epoch: int = 0,
+              rng_key=None, best_loss: float = float("inf"),
+              patience_counter: int = 0):
         cfg = self.cfg
         params = params if params is not None else self.decoder.init_params()
         if self.mesh is not None:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
         opt_state = opt_state if opt_state is not None else self.init_opt_state(params)
-        key = jax.random.PRNGKey(cfg.seed)
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
         lr_sched = cfg.learning_rate
+        # resuming mid-run: replay the per-epoch schedule calls so the stateful
+        # step-decay (lr_schedule.py decay quirk) lands on the same value
+        for _ in range(max(0, start_epoch - 1)):
+            lr_sched()
         batches_per_epoch = floor(cfg.train_words_per_epoch / cfg.batch_size)
         valid_batches = floor(cfg.validate_words / cfg.batch_size)
 
-        best_loss, patience_counter = float("inf"), 0
         avg_valid_loss = last_iter_ber = last_iter_fer = 0.0
         avg_epoch_loss, current_lr = 0.0, lr_sched.lr
         t0 = datetime.now().timestamp()
@@ -344,7 +371,11 @@ class Trainer:
             if epoch % cfg.checkpoint_step == 0:
                 ckpt_name = f"checkpoint_epoch_{epoch:04d}"
                 self.checkpoints.save(ckpt_name, params, opt_state, epoch=epoch,
-                                      metrics=metrics, config=ckpt_cfg, rng_key=key)
+                                      metrics=metrics, config=ckpt_cfg, rng_key=key,
+                                      extra_arrays={
+                                          "best_loss": np.float64(best_loss),
+                                          "patience_counter": np.int64(patience_counter),
+                                      })
                 self.checkpoints.save_weights(
                     f"weights_epoch_{epoch:04d}",
                     self.decoder.named_parameter_rows(params),
