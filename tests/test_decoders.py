@@ -385,3 +385,115 @@ def test_degree_specific_sharing_mode():
 
     grads = jax.grad(loss)(p)
     assert all(float(jnp.max(jnp.abs(v))) > 0 for v in grads.values())
+
+
+# ----------------------------------------------------------------------
+# QMS parity breadth: every quantizer mode the reference supports
+# (Functions.py:29-83 — q_bit in {3, 4, 5, -5, 6}, clip-only, pass-through)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("qbit", [3, 4, -5, 6])
+def test_qms_parity_all_qbits(torch_reference, qbit):
+    """Decoder-level bit-exact parity for every QMS quantizer mode (round-1
+    pinned only q_bit=5)."""
+    torch = torch_reference
+    code = get_code("wman_n576_r34_z24")
+    iters, B = 5, 4
+    ref = _build_reference_model(torch, code, iters, B, (3, 0, 3), "QMS", qbit=qbit)
+
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    ours = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=iters, decoder_type=DecoderType.QMS, qms_qbit=qbit,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3),
+        convention=Convention.REFERENCE,
+    ))
+    params = ours.init_params()
+    rng = np.random.RandomState(17 + qbit)
+    for key in ("cn", "vn"):
+        w = rng.uniform(0.2, 1.9, size=params[f"weight_{key}"].shape).astype(np.float32)
+        params[f"weight_{key}"] = jnp.asarray(w)
+        for i in range(w.shape[0]):
+            t = getattr(ref, f"weight_{key.upper()}_{i}")
+            t.data = torch.tensor(w[i].reshape(t.shape))
+
+    x = (rng.randn(B, code.N, code.Z) * 4).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = np.stack([o.numpy() for o in ref(torch.tensor(x))])
+    our_outs = np.asarray(ours.apply(params, jnp.asarray(x)))
+    err = np.abs(ref_outs - our_outs).max()
+    assert err == 0.0, f"q_bit={qbit} parity must be bit-exact, got {err}"
+
+
+@pytest.mark.parametrize("qbit", [3, 4, 5, -5, 6, 99])
+def test_quantizer_functions_match_torch(torch_reference, qbit):
+    """cal_msa_q_torch / Cal_MSA_Q / qms_clipping_torch parity, including the
+    unknown-q_bit pass-through branch (Functions.py:29-83)."""
+    torch = torch_reference
+    from boosted_neural_ldpc_decoder.Functions import Functions
+
+    from neural_ldpc_tpu.ops.quantize import (
+        qms_clip, qms_quantize_ste, qms_quantize_value,
+    )
+
+    x = np.linspace(-25.0, 25.0, 4001).astype(np.float32)
+    ref_q = Functions.cal_msa_q_torch(torch.tensor(x), qbit).numpy()
+    ref_qv = Functions.Cal_MSA_Q(x, qbit)
+    ref_clip = Functions.qms_clipping_torch(torch.tensor(x), qbit).numpy()
+    np.testing.assert_array_equal(np.asarray(qms_quantize_ste(jnp.asarray(x), qbit)), ref_q)
+    np.testing.assert_array_equal(np.asarray(qms_quantize_value(x, qbit)), ref_qv)
+    np.testing.assert_array_equal(np.asarray(qms_clip(jnp.asarray(x), qbit)), ref_clip)
+
+    if qbit != 99:
+        # STE gradient = clipped identity: 1 inside the clip range
+        import jax
+
+        g = jax.vmap(jax.grad(lambda v: qms_quantize_ste(v, qbit)))(jnp.asarray(x))
+        lo, hi = float(ref_clip.min()), float(ref_clip.max())
+        interior = (x > lo + 0.1) & (x < hi - 0.1)
+        np.testing.assert_array_equal(np.asarray(g)[interior], 1.0)
+        np.testing.assert_array_equal(np.asarray(g)[(x < lo - 0.1) | (x > hi + 0.1)], 0.0)
+
+
+def test_sp_puncturing_end_to_end_parity(torch_reference):
+    """SP decode of punctured words, datagen + decoder against the torch
+    reference end-to-end: the 0.001 puncture path (AWGNPassedDatagen.py:110-114)
+    must survive the tanh-domain check update identically."""
+    torch = torch_reference
+    from boosted_neural_ldpc_decoder.AWGNPassedDatagen import AWGNPassedDatagen
+    from boosted_neural_ldpc_decoder.struct.DecoderType import DecoderType as RefDT
+    from boosted_neural_ldpc_decoder.struct.Puncture import Puncture as RefPuncture
+
+    from neural_ldpc_tpu.channel import ReferenceAWGNDatagen
+    from neural_ldpc_tpu.structs import Puncture
+
+    code = get_code("wman_n576_r34_z24")
+    B, iters = 8, 4
+    snrs = np.array([2.0, 3.0, 4.0])
+    punct = (1, 24)  # first lifted block (1-based inclusive, reference style)
+
+    ref_gen = AWGNPassedDatagen(
+        N=code.N, M=code.M, snr_db=snrs,
+        awgn_noise_seed=2042, wordgen_random_seed=1074,
+        puncturing=RefPuncture(*punct),
+    )
+    x_ref, y_ref = ref_gen("mix_snr", B, code.Z, True, RefDT.SP, 5)
+
+    our_gen = ReferenceAWGNDatagen(
+        N=code.N, M=code.M, snr_db=snrs, puncturing=Puncture(*punct),
+    )
+    x_ours, y_ours = our_gen("mix_snr", B, code.Z, True, DecoderType.SP, 5)
+    np.testing.assert_array_equal(x_ours, np.asarray(x_ref, np.float32))
+    np.testing.assert_array_equal(y_ours, y_ref)
+    assert (x_ours.reshape(B, -1)[:, :24] == 0.001).all()  # the SP puncture fill
+
+    ref = _build_reference_model(torch, code, iters, B, (3, 0, 0), "SP", qbit=5)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    ours = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=iters, decoder_type=DecoderType.SP,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        convention=Convention.REFERENCE,
+    ))
+    with torch.no_grad():
+        ref_outs = np.stack([o.numpy() for o in ref(torch.tensor(np.asarray(x_ref, np.float32)))])
+    our_outs = np.asarray(ours.apply(ours.init_params(), jnp.asarray(x_ours)))
+    np.testing.assert_allclose(our_outs, ref_outs, atol=5e-3)

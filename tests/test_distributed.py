@@ -1,0 +1,155 @@
+"""Multi-process distributed backend test (VERDICT round-1 gap: the
+jax.distributed wire-up in parallel/mesh.py was never executed).
+
+Launches TWO separate Python processes on localhost, each with 2 virtual CPU
+devices, connects them through ``initialize_distributed`` (JAX's distributed
+runtime: coordinator + heartbeats + cross-process collectives over gRPC), and
+runs a psum'd sharded train step over the resulting 4-device global mesh.
+Per-process training data comes from counter-addressed ``HostDatagen`` word
+ranges (process p takes words [p*B/2, (p+1)*B/2)), so the union equals the
+single-process batch — the final params must match a single-process run on
+the same words."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+
+from neural_ldpc_tpu.parallel import initialize_distributed, make_mesh
+
+pid = int(sys.argv[1])
+initialize_distributed(coordinator_address="localhost:%(port)d",
+                       num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+devices = jax.devices()
+assert len(devices) == 4, devices  # 2 local x 2 processes
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from neural_ldpc_tpu.codes import TannerGraph, get_code
+from neural_ldpc_tpu.channel import HostDatagen
+from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+from neural_ldpc_tpu.training import TrainConfig, make_train_step
+
+code = get_code("wman_n576_r34_z24")
+graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+    n_iterations=3, decoder_type=DecoderType.MS,
+    sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3)))
+mesh = make_mesh()  # all 4 global devices
+init_opt, step = make_train_step(decoder, TrainConfig(batch_size=16), mesh)
+params = decoder.init_params()
+opt_state = init_opt(params)
+
+B = 16
+gen = HostDatagen(code, seed=7)
+data_sh = NamedSharding(mesh, P("data"))
+for it in range(2):
+    # counter-addressed per-process word ranges: p takes [p*B/2, (p+1)*B/2)
+    hb = gen.batch(word_offset=it * B + pid * (B // 2), n_words=B // 2,
+                   snr_index=2, all_zero=True)
+    llr = jax.make_array_from_process_local_data(
+        data_sh, hb.llr.astype("float32"), (B,) + hb.llr.shape[1:])
+    bits = jax.make_array_from_process_local_data(
+        data_sh, hb.bits.astype("float32"), (B, code.n_bits))
+    params, opt_state, loss = step(params, opt_state, llr, bits, jnp.float32(1e-2))
+
+import json
+import numpy as np
+out = {k: np.asarray(jax.device_get(v)).tolist() for k, v in params.items()}
+print("RESULT" + str(pid) + "=" + json.dumps(out), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER % {"repo": REPO, "port": port})
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(p)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    import json
+
+    results = {}
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith(f"RESULT{pid}=")]
+        assert line, f"no result from worker {pid}:\n{out[-2000:]}"
+        results[pid] = json.loads(line[0].split("=", 1)[1])
+
+    # both processes hold identical (replicated, psum-reduced) params
+    for k in results[0]:
+        np.testing.assert_array_equal(results[0][k], results[1][k])
+
+    # ... and they match a single-process run over the union of the word
+    # ranges (the counter-addressed datagen makes the global batch identical)
+    import jax
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.channel import HostDatagen
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.parallel import make_mesh
+    from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+    from neural_ldpc_tpu.training import TrainConfig, make_train_step
+
+    code = get_code("wman_n576_r34_z24")
+    graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=3)))
+    mesh = make_mesh(4)
+    init_opt, step = make_train_step(decoder, TrainConfig(batch_size=16), mesh)
+    params = decoder.init_params()
+    opt_state = init_opt(params)
+    gen = HostDatagen(code, seed=7)
+    B = 16
+    for it in range(2):
+        hb = gen.batch(word_offset=it * B, n_words=B, snr_index=2, all_zero=True)
+        params, opt_state, _ = step(
+            params, opt_state, jnp.asarray(hb.llr, jnp.float32),
+            jnp.asarray(hb.bits, jnp.float32), jnp.float32(1e-2))
+    for k, v in params.items():
+        np.testing.assert_allclose(
+            np.asarray(results[0][k]), np.asarray(v), atol=1e-6,
+            err_msg=f"multi-process result diverged from single-process for {k}")
