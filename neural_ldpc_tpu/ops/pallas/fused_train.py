@@ -81,6 +81,15 @@ class _TrainMeta:
     has_ucn: bool
     int8_routing: bool
     store_msgs: bool
+    sum_product: bool = False  # forward-only (SP training stays on XLA)
+    # VN<->edge routing strategy: "matmul" = one-hot MXU operands (memory
+    # O(N*E*Z^2) — the round-1 design); "roll" = per-edge sublane rotates +
+    # accumulates on the VPU (no operand, exact f32, memory O(E*Z)).  The
+    # permuted-edge-order topology tables ride the meta so the kernel can
+    # close over them statically.
+    routing: str = "matmul"
+    vn_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
+    shift_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
 
 
 def _round8(x: int) -> int:
@@ -90,10 +99,12 @@ def _round8(x: int) -> int:
 def build_layout(graph: TannerGraph):
     """Degree-sorted check order + per-edge Z padding.
 
-    Returns (edge_perm [E] new->old, deg_classes, R [NZp, E*Zp]).  The one-hot
-    routing operand absorbs the lifting roll exactly like ops/flat.py's R, on
-    the permuted/padded edge axis; pad columns (z >= Z) are all-zero so padded
-    message rows route to nothing.
+    Returns (edge_perm [E] new->old, deg_classes, R [N*Zp, E*Zp]).  The
+    one-hot routing operand absorbs the lifting roll exactly like
+    ops/flat.py's R, on the permuted/padded edge axis.  BOTH sides use the
+    per-node Zp-padded sublane layout (VN bit (n, z) lives at row n*Zp + z),
+    so the roll-routing mode can rotate whole aligned tiles; pad rows/columns
+    are all-zero and sliced off outside the kernel.
     """
     degs = np.diff(graph.row_ptr)
     if degs.min() < 2:
@@ -111,13 +122,12 @@ def build_layout(graph: TannerGraph):
     deg_classes = tuple((d, n) for d, n in deg_classes)
 
     Z, Zp = graph.Z, _round8(graph.Z)
-    NZ, NZp = graph.N * Z, _round8(graph.N * Z)
     E = graph.E
-    R = np.zeros((NZp, E * Zp), np.float32)
+    R = np.zeros((graph.N * Zp, E * Zp), np.float32)
     zc = np.arange(Z)
     for k, e in enumerate(edge_perm):
         zv = (zc + graph.shift_of_edge[e]) % Z
-        R[graph.vn_of_edge[e] * Z + zv, k * Zp + zc] = 1.0
+        R[graph.vn_of_edge[e] * Zp + zv, k * Zp + zc] = 1.0
     return edge_perm, deg_classes, R
 
 
@@ -164,9 +174,32 @@ def _relu_grad_mask(x):
     return jnp.where(x > 0, 1.0, jnp.where(x == 0, 0.5, 0.0))
 
 
-def _route_fwd(rt_ref, x, meta: _TrainMeta, routing_dtype):
-    """VN-side [NZp, bt] -> edge-side [EZp*, bt] (lift roll absorbed)."""
-    if meta.int8_routing:
+def _roll_z(seg, shift, meta: _TrainMeta):
+    """Rotate the valid Z rows of a [Zp, bt] tile by ``shift`` (pad rows stay)."""
+    shift = shift % meta.Z
+    if shift == 0:
+        return seg
+    if meta.Z == meta.Zp:
+        return jnp.roll(seg, -shift, axis=0)
+    body = jnp.concatenate([seg[shift : meta.Z], seg[:shift]], axis=0)
+    return jnp.concatenate([body, seg[meta.Z :]], axis=0)
+
+
+def _route_e_from_n(x, rt_ref, meta: _TrainMeta, routing_dtype, grad=False):
+    """VN-side [NZp, bt] -> edge-side [E*Zp, bt] (lift roll absorbed).
+
+    Used forward for the VN totals and (as the transpose of the accumulate
+    direction) backward for the message-cotangent gather; ``grad`` marks
+    cotangent inputs, which are not grid-valued, so the int8 matmul trick is
+    bypassed for them."""
+    if meta.routing == "roll":
+        Zp = meta.Zp
+        rows = []
+        for e in range(meta.E):
+            n = meta.vn_of_edge[e]
+            rows.append(_roll_z(x[n * Zp : (n + 1) * Zp], meta.shift_of_edge[e], meta))
+        return jnp.concatenate(rows, axis=0)
+    if meta.int8_routing and not grad:
         _, q_hi, q_scale = _QMS_TABLE[meta.qms_qbit]
         t_clip = 2.0 * q_hi
         x8 = jnp.round(jnp.clip(x, -t_clip, t_clip) * q_scale).astype(jnp.int8)
@@ -176,10 +209,30 @@ def _route_fwd(rt_ref, x, meta: _TrainMeta, routing_dtype):
     return jnp.dot(rt_ref[:], x.astype(routing_dtype), preferred_element_type=jnp.float32)
 
 
-def _route_bwd_mat(mat_ref, g, routing_dtype):
-    """Adjoint routing matmul on gradients (always float — grads are not on
-    the quantization grid, so the int8 trick does not apply)."""
-    return jnp.dot(mat_ref[:], g.astype(routing_dtype), preferred_element_type=jnp.float32)
+def _route_n_from_e(msg, r_ref, meta: _TrainMeta, routing_dtype, quantized=False):
+    """Edge-side [E*Zp, bt] -> per-VN sums [NZp, bt] (scatter-accumulate).
+
+    ``quantized`` marks grid-valued messages so the matmul branch can use the
+    exact int8 trick; the roll branch is exact f32 either way."""
+    if meta.routing == "roll":
+        Zp = meta.Zp
+        acc = [None] * meta.N
+        for e in range(meta.E):
+            n = meta.vn_of_edge[e]
+            c = _roll_z(msg[e * Zp : (e + 1) * Zp], -meta.shift_of_edge[e], meta)
+            acc[n] = c if acc[n] is None else acc[n] + c
+        zero = jnp.zeros((Zp, msg.shape[1]), jnp.float32)
+        parts = [a if a is not None else zero for a in acc]
+        if meta.NZp > meta.N * Zp:
+            parts.append(jnp.zeros((meta.NZp - meta.N * Zp, msg.shape[1]), jnp.float32))
+        return jnp.concatenate(parts, axis=0)
+    if meta.int8_routing and quantized:
+        _, _, q_scale = _QMS_TABLE[meta.qms_qbit]
+        m8 = jnp.round(msg * q_scale).astype(jnp.int8)
+        return jnp.dot(r_ref[:], m8, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        ) * (1.0 / q_scale)
+    return jnp.dot(r_ref[:], msg.astype(routing_dtype), preferred_element_type=jnp.float32)
 
 
 def _cn_minsum_classes(v2c, meta: _TrainMeta):
@@ -208,6 +261,35 @@ def _cn_minsum_classes(v2c, meta: _TrainMeta):
         rows = []
         for j in range(d):
             rows.append(jnp.minimum(pre[j], suf[j]) * (total_sign * sgn[:, j]))
+        outs.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
+    return jnp.concatenate(outs, axis=0)
+
+
+_SP_EPS = 1e-7  # atanh clamp (reference BoostedNeuralLDPCDecoder.py:406-408)
+
+
+def _cn_sumproduct_classes(v2c, meta: _TrainMeta):
+    """Forward extrinsic sum-product (tanh domain) per degree class."""
+    bt = v2c.shape[1]
+    outs = []
+    for base, d, n in _class_ranges(meta):
+        seg = v2c[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
+        t = jnp.tanh(0.5 * seg)
+        pre = [None] * d
+        suf = [None] * d
+        acc = jnp.ones_like(t[:, 0])
+        for j in range(d):
+            pre[j] = acc
+            acc = acc * t[:, j]
+        acc = jnp.ones_like(t[:, 0])
+        for j in reversed(range(d)):
+            suf[j] = acc
+            acc = acc * t[:, j]
+        rows = []
+        for j in range(d):
+            ext = jnp.clip(pre[j] * suf[j], -1.0 + _SP_EPS, 1.0 - _SP_EPS)
+            # Mosaic has no atanh lowering; 2*atanh(x) = log((1+x)/(1-x))
+            rows.append(jnp.log((1.0 + ext) / (1.0 - ext)))
         outs.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
     return jnp.concatenate(outs, axis=0)
 
@@ -314,14 +396,7 @@ def _ucn_mask_classes(sign_e, meta: _TrainMeta):
 
 def _ucn_mask_from_app(app, rt_ref, meta: _TrainMeta, routing_dtype):
     dsign = jnp.where(app < 0, -1.0, 1.0)
-    if meta.int8_routing:
-        s_route = jnp.dot(
-            rt_ref[:], dsign.astype(jnp.int8), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-    else:
-        s_route = jnp.dot(
-            rt_ref[:], dsign.astype(routing_dtype), preferred_element_type=jnp.float32
-        )
+    s_route = _route_e_from_n(dsign, rt_ref, meta, routing_dtype)
     return _ucn_mask_classes(jnp.where(s_route < 0, -1.0, 1.0), meta)
 
 
@@ -358,9 +433,12 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
         app = jnp.where(i == 0, xa_q, prev_app)
         ucn_mask = _ucn_mask_from_app(app, rt_ref, meta, routing_dtype)
 
-    routed = _route_fwd(rt_ref, xa_q + sums_scr[:], meta, routing_dtype)
+    routed = _route_e_from_n(xa_q + sums_scr[:], rt_ref, meta, routing_dtype)
     v2c = _clip_or_quant(routed - msg_scr[:], meta)
-    c2v = _cn_minsum_classes(v2c, meta)
+    if meta.sum_product:
+        c2v = _cn_sumproduct_classes(v2c, meta)
+    else:
+        c2v = _cn_minsum_classes(v2c, meta)
 
     w_mag = jnp.abs(c2v)
     if meta.has_ucn:
@@ -372,16 +450,7 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
     new_msg = w_mag * jnp.sign(c2v)
 
     msg_scr[:] = new_msg
-    if meta.int8_routing:
-        _, _, q_scale = _QMS_TABLE[meta.qms_qbit]
-        m8 = jnp.round(new_msg * q_scale).astype(jnp.int8)
-        sums_scr[:] = jnp.dot(
-            r_ref[:], m8, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * (1.0 / q_scale)
-    else:
-        sums_scr[:] = jnp.dot(
-            r_ref[:], new_msg.astype(routing_dtype), preferred_element_type=jnp.float32
-        )
+    sums_scr[:] = _route_n_from_e(new_msg, r_ref, meta, routing_dtype, quantized=True)
     # PRE-clip APP: the final clip is differentiated outside the kernel
     out_ref[0] = chan_out + sums_scr[:]
 
@@ -392,7 +461,7 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
 def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
              routing_dtype, interpret):
     NZp, B = chan.shape
-    EZp = rt.shape[0]
+    EZp = meta.E * meta.Zp
     I = meta.n_iterations
     grid = (B // bt, I)
     kernel = functools.partial(_fwd_kernel, meta, routing_dtype)
@@ -414,8 +483,8 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         in_specs=[
             pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EZp, NZp), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NZp, EZp), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rt.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(r.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
             iter_block((1, EZp, 1)),
             iter_block((1, NZp, 1)),
             iter_block((1, EZp, 1)),
@@ -457,16 +526,7 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     g_out = gout_ref[0]  # cotangent of the PRE-clip APP of iteration i
 
     # ---- recompute iteration i's forward intermediates ----
-    if meta.int8_routing:
-        _, _, q_scale = _QMS_TABLE[meta.qms_qbit]
-        m8 = jnp.round(msg_prev * q_scale).astype(jnp.int8)
-        sums_prev = jnp.dot(
-            r_ref[:], m8, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * (1.0 / q_scale)
-    else:
-        sums_prev = jnp.dot(
-            r_ref[:], msg_prev.astype(routing_dtype), preferred_element_type=jnp.float32
-        )
+    sums_prev = _route_n_from_e(msg_prev, r_ref, meta, routing_dtype, quantized=True)
 
     if meta.has_vn_w:
         xa = chan * vnw_ref[0]
@@ -487,7 +547,7 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
         ucn_mask = _ucn_mask_from_app(app, rt_ref, meta, routing_dtype)
         scn_mask = 1.0 - ucn_mask
 
-    routed = _route_fwd(rt_ref, xa_q + sums_prev, meta, routing_dtype)
+    routed = _route_e_from_n(xa_q + sums_prev, rt_ref, meta, routing_dtype)
     v2c_pre = routed - msg_prev
     lo_m, hi_m = _msg_range(meta)
     mask_v2c = _clip_grad_mask(v2c_pre, lo_m, hi_m)
@@ -497,7 +557,9 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     # out_pre_i = chan_out + sums_i  ->  g_sums_i = g_out (+ carry)
     g_sums_total = gsums_scr[:] + g_out
     # sums_i = R @ msg_i  ->  g_msg_i += R^T @ g_sums_i  (+ carry)
-    g_msg_total = gmsg_scr[:] + _route_bwd_mat(rt_ref, g_sums_total, routing_dtype)
+    g_msg_total = gmsg_scr[:] + _route_e_from_n(
+        g_sums_total, rt_ref, meta, routing_dtype, grad=True
+    )
 
     def g_extrmin_fn(c2v):
         mag = jnp.abs(c2v)  # == extrinsic min, >= 0
@@ -533,7 +595,7 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     # v2c_pre = routed - msg_prev
     g_msg_carry = -g_v2c_pre
     # routed = R^T @ T, T = xa_q + sums_prev
-    g_T = _route_bwd_mat(r_ref, g_v2c_pre, routing_dtype)
+    g_T = _route_n_from_e(g_v2c_pre, r_ref, meta, routing_dtype)
     gsums_scr[:] = g_T  # cotangent of sums_{i-1}, consumed by the next step
     gmsg_scr[:] = g_msg_carry
 
@@ -556,7 +618,7 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
 def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
              meta: _TrainMeta, bt: int, routing_dtype, interpret):
     NZp, B = chan.shape
-    EZp = rt.shape[0]
+    EZp = meta.E * meta.Zp
     I = meta.n_iterations
     nb = B // bt
     grid = (nb, I)
@@ -568,8 +630,8 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
         in_specs=[
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EZp, NZp), lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NZp, EZp), lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rt.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(r.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
@@ -636,11 +698,18 @@ class FusedTrainDecoder:
         has_cn_w: bool = True,
         has_vn_w: bool = False,
         has_ucn: bool = False,
+        sum_product: bool = False,
+        store_msgs: bool = True,  # False = streaming decode only (no VJP)
+        routing: str = "matmul",  # "matmul" (one-hot MXU) | "roll" (VPU rotates)
         bt: Optional[int] = None,
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,
         interpret: bool = False,
     ):
+        if routing not in ("matmul", "roll"):
+            raise ValueError(f"unknown routing {routing!r}")
+        if routing == "roll":
+            int8_routing = False  # rolls are exact f32; no matmuls to quantize
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
         if int8_routing is None:
@@ -649,26 +718,39 @@ class FusedTrainDecoder:
             raise ValueError("int8 routing needs QMS quantization")
         if has_ucn and not has_cn_w:
             raise ValueError("UCN weighting requires CN weights")
+        if sum_product and qms_qbit is not None:
+            raise ValueError("SP and QMS are mutually exclusive decoder types")
+        if sum_product and store_msgs:
+            raise ValueError("SP has no fused backward; use store_msgs=False "
+                             "(streaming decode) or the XLA training engine")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(graph)
         self.edge_perm = jnp.asarray(edge_perm)
         Z, Zp = graph.Z, _round8(graph.Z)
-        NZ, NZp = graph.N * Z, _round8(graph.N * Z)
+        NZ, NZp = graph.N * Z, graph.N * Zp
         self.meta = _TrainMeta(
             M=graph.M, N=graph.N, Z=Z, Zp=Zp, E=graph.E, NZ=NZ, NZp=NZp,
             deg_classes=deg_classes, n_iterations=n_iterations,
             clip_lo=float(clip[0]), clip_hi=float(clip[1]),
             qms_qbit=qms_qbit, has_cn_w=has_cn_w, has_vn_w=has_vn_w,
-            has_ucn=has_ucn, int8_routing=int8_routing, store_msgs=True,
+            has_ucn=has_ucn, int8_routing=int8_routing, store_msgs=store_msgs,
+            sum_product=sum_product, routing=routing,
+            vn_of_edge=tuple(int(graph.vn_of_edge[e]) for e in edge_perm),
+            shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
         )
         if bt is None:
             bt = 256 if graph.E * Zp > 2500 else 512
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret
-        operand_dtype = jnp.int8 if int8_routing else routing_dtype
-        self._r = jnp.asarray(R, operand_dtype)
-        self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
+        if routing == "roll":
+            # no routing operands; tiny placeholders keep the kernel signature
+            dummy = jnp.zeros((8, 128), routing_dtype)
+            self._r = self._rt = dummy
+        else:
+            operand_dtype = jnp.int8 if int8_routing else routing_dtype
+            self._r = jnp.asarray(R, operand_dtype)
+            self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
 
         self._vjp = jax.custom_vjp(self._primal)
         self._vjp.defvjp(self._vjp_fwd, self._vjp_bwd)
@@ -682,7 +764,7 @@ class FusedTrainDecoder:
         cfg = decoder.config
         if cfg.convention == Convention.REFERENCE:
             raise ValueError("fused training implements the STANDARD convention")
-        if cfg.decoder_type == DecoderType.SP:
+        if cfg.decoder_type == DecoderType.SP and kw.get("store_msgs", True):
             raise ValueError("SP training stays on the XLA path (tanh-domain bwd)")
         return FusedTrainDecoder(
             decoder.graph,
@@ -692,6 +774,7 @@ class FusedTrainDecoder:
             has_cn_w=cfg.sharing.cn != SharingMode.NONE,
             has_vn_w=cfg.sharing.vn != SharingMode.NONE,
             has_ucn=cfg.sharing.ucn != SharingMode.NONE,
+            sum_product=cfg.decoder_type == DecoderType.SP,
             **kw,
         )
 
@@ -702,13 +785,11 @@ class FusedTrainDecoder:
         w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.E, m.Zp))
         return w.reshape(m.n_iterations, m.E * m.Zp, 1)
 
-    def _pack_vn_w(self, w):  # [I, N] -> [I, NZp, 1]
+    def _pack_vn_w(self, w):  # [I, N] -> [I, NZp, 1] (per-VN Zp-padded layout)
         m = self.meta
-        w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.N, m.Z)).reshape(
-            m.n_iterations, m.NZ
-        )
-        w = jnp.pad(w, ((0, 0), (0, m.NZp - m.NZ)))
-        return w[:, :, None]
+        w3 = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.N, m.Z))
+        w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, m.Zp - m.Z)))
+        return w3.reshape(m.n_iterations, m.NZp)[:, :, None]
 
     def _primal(self, cnw, vnw, ucnw, chan, chanq):
         outs, _ = _fwd_run(
@@ -726,6 +807,11 @@ class FusedTrainDecoder:
 
     def _vjp_bwd(self, res, g_outs):
         cnw, vnw, ucnw, chan, chanq, store, outs = res
+        if store is None:
+            raise ValueError(
+                "backward requires store_msgs=True (streaming decode mode has "
+                "no message checkpoints)"
+            )
         g_cnw, g_vnw, g_ucnw, g_chan, g_chanq = _bwd_run(
             chan, chanq, self._rt, self._r, cnw, vnw, ucnw, store, outs, g_outs,
             self.meta, self.bt, self.routing_dtype, self.interpret,
@@ -740,9 +826,9 @@ class FusedTrainDecoder:
         [I, B, N*Z], differentiable w.r.t. weights and channel."""
         m = self.meta
         B = chan_llr.shape[0]
-        x = chan_llr.reshape(B, m.NZ).astype(jnp.float32)
-        x = jnp.pad(x, ((0, (-B) % self.bt), (0, m.NZp - m.NZ)))
-        chan = x.T  # [NZp, Bp]
+        x = chan_llr.reshape(B, m.N, m.Z).astype(jnp.float32)
+        x = jnp.pad(x, ((0, (-B) % self.bt), (0, 0), (0, m.Zp - m.Z)))
+        chan = x.reshape(x.shape[0], m.NZp).T  # [NZp, Bp], per-VN Zp layout
         chanq = (
             qms_quantize_ste(chan, m.qms_qbit) if m.qms_qbit is not None else chan
         )
@@ -753,4 +839,6 @@ class FusedTrainDecoder:
         vnw = self._pack_vn_w(vn_w if m.has_vn_w and vn_w is not None else ones_n)
         outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
-        return jnp.swapaxes(outs[:, : m.NZ, :B], 1, 2)  # [I, B, NZ]
+        I = m.n_iterations
+        o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]
+        return jnp.transpose(o, (0, 3, 1, 2)).reshape(I, B, m.NZ)

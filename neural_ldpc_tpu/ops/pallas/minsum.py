@@ -350,11 +350,46 @@ class FusedMinsumDecoder:
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
         interpret: bool = False,
     ):
-        if not _supported(graph):
-            raise ValueError(f"fused kernel needs Z % 8 == 0, got Z={graph.Z}")
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
         self.graph = graph
+
+        # Z % 8 != 0 and all-iterations decoding ride the streaming kernel
+        # (ops/pallas/fused_train.py): iteration = a grid dimension, so every
+        # iteration's APP streams to HBM at the full batch tile (round-1 paid
+        # a 4x tile shrink to hold [I, NZ, bt] in VMEM), and odd Z is handled
+        # by padding each edge's Z-block to a sublane multiple.
+        self._delegate = None
+        if not _supported(graph) or all_iterations:
+            from .fused_train import FusedTrainDecoder
+
+            if int8_routing is None:
+                int8_routing = qms_qbit is not None and not interpret
+            self._delegate = FusedTrainDecoder(
+                graph,
+                n_iterations=n_iterations,
+                clip=clip,
+                qms_qbit=qms_qbit,
+                has_cn_w=cn_weights is not None,
+                has_vn_w=vn_weights is not None,
+                has_ucn=ucn_weights is not None,
+                sum_product=sum_product,
+                store_msgs=False,
+                bt=bt,
+                routing_dtype=routing_dtype,
+                int8_routing=int8_routing,
+                interpret=interpret,
+            )
+            self.meta = self._delegate.meta
+            self.bt = self._delegate.bt
+            self._w = tuple(
+                None if w is None else jnp.asarray(np.asarray(w, np.float32))
+                for w in (cn_weights, ucn_weights, vn_weights)
+            )
+            self._all_iterations = all_iterations
+            self._jitted = None
+            return
+        self._all_iterations = all_iterations
         if bt is None:
             # measured on v5e (both codes): throughput rises to bt=512 and
             # flattens; the raised vmem_limit_bytes in _run makes 512 fit.
@@ -451,8 +486,15 @@ class FusedMinsumDecoder:
         layout shuffles fuse with the kernel dispatch; callers don't need an
         outer jit (retraces only on a new batch size)."""
         if self._jitted is None:
-            self._jitted = jax.jit(self._call_impl)
+            self._jitted = jax.jit(
+                self._call_impl if self._delegate is None else self._delegate_impl
+            )
         return self._jitted(chan_llr)
+
+    def _delegate_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
+        cn_w, ucn_w, vn_w = self._w
+        outs = self._delegate.apply(cn_w, ucn_w, vn_w, chan_llr)  # [I, B, NZ]
+        return outs if self._all_iterations else outs[-1]
 
     def _call_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         g = self.graph

@@ -319,3 +319,29 @@ def test_fused_rejects_reference_convention():
         CampaignConfig(batch_size=8, max_words_per_snr=8, min_frame_errors=0),
     )
     assert not mc.fused
+
+
+def test_fused_decoder_odd_z_delegates_to_streaming_kernel():
+    """Z % 8 != 0 decodes through the streaming kernel (round 1 raised)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+    from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 12)  # Z=12, not sublane-aligned
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        matmul_precision="highest"))
+    params = dec.init_params()
+    fused = FusedMinsumDecoder.from_decoder(
+        dec, params, interpret=True, routing_dtype=jnp.float32)
+    assert fused._delegate is not None
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, g.N, 12)).astype(np.float32) * 3)
+    np.testing.assert_allclose(
+        np.asarray(fused(x)), np.asarray(dec.apply(params, x)[-1]), atol=2e-5)

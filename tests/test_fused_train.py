@@ -161,3 +161,52 @@ def test_train_step_fused_engine_runs():
         assert all(np.isfinite(losses))
     finally:
         ftmod.FusedTrainDecoder.from_decoder = staticmethod(orig)
+
+
+@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", [CASES[0], CASES[2], CASES[3]])
+def test_fused_train_roll_routing_matches_flat(code_name, n_iter, dec_type, sharing):
+    """VPU roll-based routing (no one-hot operand): values and gradients must
+    match the flat XLA path exactly like the matmul mode does."""
+    dec, _, params, llr, bits = _setup(code_name, n_iter, dec_type, sharing)
+    ft = FusedTrainDecoder.from_decoder(dec, interpret=True, routing="roll")
+    assert ft.meta.routing == "roll" and not ft.meta.int8_routing
+    coeffs = list(range(n_iter))
+
+    o_flat = dec.apply(params, llr)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    o_fused = ft.apply(cn_w, ucn_w, vn_w, llr)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_flat), atol=2e-5)
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=coeffs)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=coeffs)
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+def test_fused_train_roll_routing_odd_z():
+    """Roll routing with Z % 8 != 0 (rotation restricted to the valid Z rows)."""
+    code = get_code("wman_n576_r34_z24")
+    Z = 12
+    g = TannerGraph.from_basegraph(code.basegraph, Z)
+    cfg = BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        matmul_precision="highest")
+    dec = BoostedNeuralDecoder(g, cfg)
+    rng = np.random.default_rng(4)
+    params = {k: jnp.asarray(np.asarray(v) + 0.05 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(8, g.N, Z)).astype(np.float32) * 3)
+    ft = FusedTrainDecoder.from_decoder(dec, interpret=True, routing="roll")
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    np.testing.assert_allclose(
+        np.asarray(ft.apply(cn_w, ucn_w, vn_w, llr)),
+        np.asarray(dec.apply(params, llr)), atol=2e-5)
