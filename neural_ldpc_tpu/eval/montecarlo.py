@@ -79,13 +79,11 @@ class MonteCarloCampaign:
         self._step = self._build_step()
 
     def _fused_eligible(self) -> bool:
-        from ..ops.pallas.minsum import _supported
         from ..structs import Convention
 
-        return (
-            _supported(self.decoder.graph)
-            and self.decoder.config.convention != Convention.REFERENCE
-        )
+        # odd-Z codes ride the streaming-kernel delegation inside
+        # FusedMinsumDecoder, so Z is no longer an eligibility constraint
+        return self.decoder.config.convention != Convention.REFERENCE
 
     def _resolve_engine(self) -> str:
         if self.cfg.engine == "xla":

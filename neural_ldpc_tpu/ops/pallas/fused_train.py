@@ -90,6 +90,9 @@ class _TrainMeta:
     routing: str = "matmul"
     vn_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
     shift_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
+    # False = decode-only fast path: just the final iteration's APP leaves the
+    # kernel (training and per-iteration stats need the full stream)
+    stream_outputs: bool = True
 
 
 def _round8(x: int) -> int:
@@ -452,7 +455,12 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
     msg_scr[:] = new_msg
     sums_scr[:] = _route_n_from_e(new_msg, r_ref, meta, routing_dtype, quantized=True)
     # PRE-clip APP: the final clip is differentiated outside the kernel
-    out_ref[0] = chan_out + sums_scr[:]
+    if meta.stream_outputs:
+        out_ref[0] = chan_out + sums_scr[:]
+    else:
+        @pl.when(i == meta.n_iterations - 1)
+        def _write_final():
+            out_ref[0] = chan_out + sums_scr[:]
 
 
 @functools.partial(
@@ -468,10 +476,16 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
     iter_block = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda bi, i: (i,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
     )
-    out_shapes = [jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)]
-    out_specs = [
-        pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
-    ]
+    if meta.stream_outputs:
+        out_shapes = [jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
+        ]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((1, NZp, B), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((1, NZp, bt), lambda bi, i: (0, 0, bi), memory_space=pltpu.VMEM)
+        ]
     if meta.store_msgs:
         out_shapes.append(jax.ShapeDtypeStruct((I, EZp, B), jnp.float32))
         out_specs.append(
@@ -700,16 +714,27 @@ class FusedTrainDecoder:
         has_ucn: bool = False,
         sum_product: bool = False,
         store_msgs: bool = True,  # False = streaming decode only (no VJP)
-        routing: str = "matmul",  # "matmul" (one-hot MXU) | "roll" (VPU rotates)
+        routing: str = "auto",  # "roll" (VPU rotates) | "matmul" (one-hot MXU)
+        stream_outputs: Optional[bool] = None,  # False = final-APP-only decode
         bt: Optional[int] = None,
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,
         interpret: bool = False,
     ):
+        if routing == "auto":
+            # roll measured faster on both shipped codes (decode +17-29%,
+            # train +27%, benchmarks/measure_r2.json); matmul remains for
+            # very-high-edge-count protographs where the per-edge unroll
+            # would dominate compile time
+            routing = "roll" if graph.E <= 512 else "matmul"
         if routing not in ("matmul", "roll"):
             raise ValueError(f"unknown routing {routing!r}")
         if routing == "roll":
             int8_routing = False  # rolls are exact f32; no matmuls to quantize
+        if stream_outputs is None:
+            stream_outputs = store_msgs
+        if store_msgs and not stream_outputs:
+            raise ValueError("training (store_msgs) needs the full output stream")
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
         if int8_routing is None:
@@ -737,6 +762,7 @@ class FusedTrainDecoder:
             sum_product=sum_product, routing=routing,
             vn_of_edge=tuple(int(graph.vn_of_edge[e]) for e in edge_perm),
             shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
+            stream_outputs=stream_outputs,
         )
         if bt is None:
             bt = 256 if graph.E * Zp > 2500 else 512
@@ -837,8 +863,14 @@ class FusedTrainDecoder:
         cnw = self._pack_edge_w(cn_w if m.has_cn_w and cn_w is not None else ones_e)
         ucnw = self._pack_edge_w(ucn_w if m.has_ucn and ucn_w is not None else ones_e)
         vnw = self._pack_vn_w(vn_w if m.has_vn_w and vn_w is not None else ones_n)
-        outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
+        if m.stream_outputs:
+            outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
+        else:
+            outs_pre, _ = _fwd_run(
+                chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
+                self.meta, self.bt, self.routing_dtype, self.interpret,
+            )
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
-        I = m.n_iterations
+        I = outs.shape[0]  # 1 when stream_outputs=False
         o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]
         return jnp.transpose(o, (0, 3, 1, 2)).reshape(I, B, m.NZ)

@@ -349,18 +349,21 @@ class FusedMinsumDecoder:
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
         interpret: bool = False,
+        engine: str = "stream",  # "stream" (roll-routing grid kernel) | "legacy"
     ):
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
         self.graph = graph
 
-        # Z % 8 != 0 and all-iterations decoding ride the streaming kernel
-        # (ops/pallas/fused_train.py): iteration = a grid dimension, so every
-        # iteration's APP streams to HBM at the full batch tile (round-1 paid
-        # a 4x tile shrink to hold [I, NZ, bt] in VMEM), and odd Z is handled
-        # by padding each edge's Z-block to a sublane multiple.
+        # The default decode path is the streaming kernel
+        # (ops/pallas/fused_train.py): iteration = a grid dimension (so
+        # all-iterations output streams to HBM at the full batch tile — round 1
+        # paid a 4x tile shrink to hold [I, NZ, bt] in VMEM), arbitrary Z via
+        # sublane padding, and roll-based routing (measured +17-29% over the
+        # legacy one-hot-matmul kernel, benchmarks/measure_r2.json).  The
+        # round-1 fori_loop kernel remains as engine="legacy" for comparison.
         self._delegate = None
-        if not _supported(graph) or all_iterations:
+        if engine == "stream" or not _supported(graph) or all_iterations:
             from .fused_train import FusedTrainDecoder
 
             if int8_routing is None:
@@ -375,6 +378,7 @@ class FusedMinsumDecoder:
                 has_ucn=ucn_weights is not None,
                 sum_product=sum_product,
                 store_msgs=False,
+                stream_outputs=all_iterations,
                 bt=bt,
                 routing_dtype=routing_dtype,
                 int8_routing=int8_routing,
