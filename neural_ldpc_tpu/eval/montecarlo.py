@@ -79,11 +79,16 @@ class MonteCarloCampaign:
         self._step = self._build_step()
 
     def _fused_eligible(self) -> bool:
+        from ..ops.pallas.fused_train import fused_capacity_ok
         from ..structs import Convention
 
         # odd-Z codes ride the streaming-kernel delegation inside
-        # FusedMinsumDecoder, so Z is no longer an eligibility constraint
-        return self.decoder.config.convention != Convention.REFERENCE
+        # FusedMinsumDecoder; the remaining constraints are the REFERENCE
+        # parity convention and the VMEM message-residency capacity
+        return (
+            self.decoder.config.convention != Convention.REFERENCE
+            and fused_capacity_ok(self.decoder.graph)
+        )
 
     def _resolve_engine(self) -> str:
         if self.cfg.engine == "xla":

@@ -99,6 +99,39 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _vmem_bytes(meta: "_TrainMeta", bt: int, operand_bytes: int) -> int:
+    """Rough peak VMEM estimate for the kernels at batch tile ``bt``.
+
+    Counts the scratches, the double-buffered stream blocks, the lane-padded
+    [*, 1] weight blocks (a [1, EZp, 1] block occupies EZp x 128 lanes!), and
+    the routing operands; the backward pass is the peak when training."""
+    EZpB, NZpB = meta.E * meta.Zp * 4, meta.NZp * 4
+    lane_pad = 512  # 128 lanes x 4B for [*, 1] blocks
+    w = 0
+    if meta.has_cn_w or meta.has_ucn:
+        w += 2 * meta.E * meta.Zp * lane_pad // 4
+    if meta.has_ucn:
+        w += 2 * meta.E * meta.Zp * lane_pad // 4
+    if meta.has_vn_w:
+        w += 2 * meta.NZp * lane_pad // 4
+    fwd = (EZpB + NZpB) * bt + 4 * NZpB * bt + 2 * NZpB * bt
+    if meta.store_msgs:
+        fwd += 2 * EZpB * bt
+        bwd = (EZpB + NZpB) * bt + 2 * EZpB * bt + 8 * NZpB * bt + 2 * NZpB * bt + w
+        fwd = max(fwd, bwd)
+    return fwd + w + operand_bytes
+
+
+def fused_capacity_ok(graph: TannerGraph) -> bool:
+    """Whether the code's message state fits VMEM residency at the minimum
+    128-lane batch tile (v5e: 128MB physical; ~100MB usable after Mosaic
+    liveness).  Beyond this the XLA paths (HBM-streamed messages) take over."""
+    EZp = graph.E * _round8(graph.Z)
+    NZp = graph.N * _round8(graph.Z)
+    # decode-mode estimate with one weight stream, roll routing, bt=128
+    return (EZp + NZp) * 4 * 128 + 6 * NZp * 4 * 128 + 2 * EZp * 512 <= 80 * 1024 * 1024
+
+
 def build_layout(graph: TannerGraph):
     """Degree-sorted check order + per-edge Z padding.
 
@@ -499,9 +532,9 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
             pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec(rt.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(r.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            iter_block((1, EZp, 1)),
-            iter_block((1, NZp, 1)),
-            iter_block((1, EZp, 1)),
+            iter_block((1,) + cnw.shape[1:]),
+            iter_block((1,) + vnw.shape[1:]),
+            iter_block((1,) + ucnw.shape[1:]),
         ],
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
@@ -596,10 +629,10 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
             g_ucnw = jnp.sum(g_w * ucn_mask, axis=1, keepdims=True)
         elif meta.has_cn_w:
             g_cnw = jnp.sum(g_w, axis=1, keepdims=True)
-            g_ucnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
+            g_ucnw = None
         else:
-            g_cnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
-            g_ucnw = jnp.zeros((mag.shape[0], 1), jnp.float32)
+            g_cnw = None
+            g_ucnw = None
         g_extrmin = g_wm_pre * w_eff  # |c2v| gradient cancels the sign exactly
         return g_extrmin, g_cnw, g_ucnw
 
@@ -622,8 +655,8 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     else:
         gchanq_ref[:] += g_T  # xa_q IS chanq
         gvnw_ref[0, 0] = jnp.zeros_like(gvnw_ref[0, 0])
-    gcnw_ref[0, 0] = g_cnw_i
-    gucnw_ref[0, 0] = g_ucnw_i
+    gcnw_ref[0, 0] = g_cnw_i if g_cnw_i is not None else jnp.zeros_like(gcnw_ref[0, 0])
+    gucnw_ref[0, 0] = g_ucnw_i if g_ucnw_i is not None else jnp.zeros_like(gucnw_ref[0, 0])
 
 
 @functools.partial(
@@ -646,9 +679,9 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec(rt.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(r.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, EZp, 1), lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + cnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + vnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + ucnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
             # pre-clip APP of iteration i-1 (block 0 read harmlessly at i=0)
@@ -660,16 +693,16 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
             pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, EZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, EZp, 1), lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + cnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + vnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + ucnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, I, EZp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nb, I, NZp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nb, I, EZp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, I) + cnw.shape[1:], jnp.float32),
+            jax.ShapeDtypeStruct((nb, I) + vnw.shape[1:], jnp.float32),
+            jax.ShapeDtypeStruct((nb, I) + ucnw.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((NZp, B), jnp.float32),
             jax.ShapeDtypeStruct((NZp, B), jnp.float32),
         ],
@@ -764,8 +797,26 @@ class FusedTrainDecoder:
             shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
             stream_outputs=stream_outputs,
         )
+        operand_bytes = 0
+        if routing == "matmul":
+            osize = 1 if int8_routing else jnp.dtype(routing_dtype).itemsize
+            operand_bytes = 2 * (graph.N * Zp) * (graph.E * Zp) * osize
+        # the estimate excludes Mosaic's in-kernel liveness (per-class CN
+        # temporaries), which is much heavier in the backward kernel — hence
+        # the tighter training budget (measured: Z=48 BG1-scale training
+        # wanted ~2.1x the estimate)
+        limit = (55 if store_msgs else 100) * 1024 * 1024
         if bt is None:
             bt = 256 if graph.E * Zp > 2500 else 512
+            while bt > 64 and _vmem_bytes(self.meta, bt, operand_bytes) > limit:
+                bt //= 2
+        if _vmem_bytes(self.meta, bt, operand_bytes) > limit:
+            raise ValueError(
+                f"code too large for VMEM-resident messages (E*Zp = {graph.E * Zp}, "
+                f"estimated {_vmem_bytes(self.meta, bt, operand_bytes) >> 20}MB at "
+                f"bt={bt}); decode/train it on the XLA paths (ops/flat.py streams "
+                "messages via HBM)"
+            )
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret
@@ -858,11 +909,24 @@ class FusedTrainDecoder:
         chanq = (
             qms_quantize_ste(chan, m.qms_qbit) if m.qms_qbit is not None else chan
         )
+        # absent weight streams ride as tiny [I, 8, 1] placeholders — a full
+        # [1, EZp, 1] block lane-pads to EZp x 128 x 4 bytes in VMEM, which
+        # dominates the budget on large codes
+        dummy = jnp.ones((m.n_iterations, 8, 1), jnp.float32)
         ones_e = jnp.ones((m.n_iterations, m.E), jnp.float32)
         ones_n = jnp.ones((m.n_iterations, m.N), jnp.float32)
-        cnw = self._pack_edge_w(cn_w if m.has_cn_w and cn_w is not None else ones_e)
-        ucnw = self._pack_edge_w(ucn_w if m.has_ucn and ucn_w is not None else ones_e)
-        vnw = self._pack_vn_w(vn_w if m.has_vn_w and vn_w is not None else ones_n)
+        cnw = (
+            self._pack_edge_w(cn_w if cn_w is not None else ones_e)
+            if (m.has_cn_w or m.has_ucn) else dummy
+        )
+        ucnw = (
+            self._pack_edge_w(ucn_w if ucn_w is not None else ones_e)
+            if m.has_ucn else dummy
+        )
+        vnw = (
+            self._pack_vn_w(vn_w if vn_w is not None else ones_n)
+            if m.has_vn_w else dummy
+        )
         if m.stream_outputs:
             outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         else:

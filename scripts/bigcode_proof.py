@@ -1,0 +1,107 @@
+"""Large-code compile-time + correctness proof (VERDICT item 4):
+synthetic BG1-scale protograph (46x68, ~316 edges) at Z=16 (matmul + roll)
+and Z=384 (roll only — the one-hot operand would be ~6GB).
+Ground truth: the edge-gather XLA path (O(E*Z) memory).
+"""
+import sys, time, json
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+
+from neural_ldpc_tpu.codes.tanner import TannerGraph
+from neural_ldpc_tpu.models import BoostedNeuralDecoder, BoostedDecoderConfig
+from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder
+
+print("device:", jax.devices()[0], flush=True)
+
+
+def synth_bg1(seed=0, M=46, N=68, max_shift=383):
+    """BG1-like protograph: row degrees ~5-10, first M cols form a staircase
+    so every check has degree >= 2."""
+    rng = np.random.default_rng(seed)
+    bg = np.full((M, N), -1, np.int64)
+    for m in range(M):
+        # staircase (double-diagonal-ish) + random information columns
+        bg[m, M + (m % (N - M))] = rng.integers(0, max_shift)
+        bg[m, m] = rng.integers(0, max_shift)
+        if m > 0:
+            bg[m, m - 1] = rng.integers(0, max_shift)
+        extra = rng.choice(N - M, size=rng.integers(3, 8), replace=False)
+        for c in extra:
+            bg[m, M + c] = rng.integers(0, max_shift)
+    return bg
+
+
+bg = synth_bg1()
+results = {}
+for Z, modes, B in [(16, ("matmul", "roll"), 512), (128, ("roll",), 256)]:
+    g = TannerGraph.from_basegraph(bg, Z)
+    print(f"Z={Z}: N*Z={g.N*Z} E={g.E} E*Z={g.E*Z} max_deg={g.max_cn_degree}", flush=True)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=10, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0), routing="edge"))
+    p = dec.init_params()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, g.N, Z)).astype(np.float32) * 3)
+    ref = np.asarray(dec.apply(p, x)[-1])
+    cw, uw, vw = dec._expanded_weights(p)
+    for mode in modes:
+        ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
+                                            stream_outputs=False, routing=mode)
+        t0 = time.time()
+        out = np.asarray(ft.apply(cw, uw, vw, x)[-1])
+        compile_s = time.time() - t0
+        agree = float(((out < 0) == (ref < 0)).mean())
+        maxd = float(np.abs(out - ref).max())
+        # throughput
+        fn = jax.jit(lambda xx: ft.apply(cw, uw, vw, xx)[-1])
+        jax.block_until_ready(fn(x))
+        reps = 20 if Z == 16 else 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn(x)
+        jax.block_until_ready(o)
+        wps = B * reps / (time.perf_counter() - t0)
+        key = f"Z{Z}_{mode}"
+        results[key] = {"compile_s": round(compile_s, 1), "agree": agree,
+                        "maxdiff": maxd, "words_per_s": round(wps)}
+        print(key, json.dumps(results[key]), flush=True)
+
+# training-step compile check (store_msgs, backward kernel): Z=128 exceeds
+# the documented VMEM-residency budget for training (decode-only fits); the
+# capacity check must raise cleanly, and Z=48 must train.
+g = TannerGraph.from_basegraph(bg, 128)
+dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+    n_iterations=5, decoder_type=DecoderType.MS,
+    sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+try:
+    FusedTrainDecoder.from_decoder(dec, routing="roll")
+    results["Z128_train_capacity"] = {"raised": False}
+except ValueError as e:
+    results["Z128_train_capacity"] = {"raised": True, "msg": str(e)[:120]}
+print("Z128_train_capacity", json.dumps(results["Z128_train_capacity"]), flush=True)
+
+g = TannerGraph.from_basegraph(bg, 48)
+dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+    n_iterations=5, decoder_type=DecoderType.MS,
+    sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
+p = dec.init_params()
+cw, uw, vw = dec._expanded_weights(p)
+x = jnp.asarray(np.random.default_rng(2).normal(size=(128, g.N, 48)).astype(np.float32) * 3)
+
+
+def loss(c):
+    return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, x)[-1]))
+
+
+t0 = time.time()
+gr = jax.block_until_ready(jax.grad(loss)(cw))
+results["Z48_train_grad"] = {"compile_s": round(time.time() - t0, 1),
+                              "grad_finite": bool(np.isfinite(np.asarray(gr)).all()),
+                              "grad_norm": float(jnp.linalg.norm(gr))}
+print("Z48_train_grad", json.dumps(results["Z48_train_grad"]), flush=True)
+
+with open("benchmarks/bigcode_r2.json", "w") as f:
+    json.dump(results, f, indent=1)
+print("DONE", flush=True)
