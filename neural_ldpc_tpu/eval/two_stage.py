@@ -61,6 +61,29 @@ class TwoStageDecoder:
         app = jnp.where(ok1[:, None], app1, app2)
         return app, ~ok1
 
+    def decode_sparse(self, chan_llr: jnp.ndarray, min_post_batch: int = 256):
+        """Serving-shaped two-stage decode: the post decoder runs ONLY on the
+        escalated rows (round-1 ran it on the full batch — 2x decode cost per
+        word even at FER 1e-7).
+
+        The failed rows are gathered on device, padded up to a power-of-two
+        bucket (bounds retrace count and keeps the kernel's batch tiling
+        happy), decoded, and scattered back.  Cost per word approaches pure
+        base decode as the failure rate vanishes.  Returns
+        (app [B, N*Z], used_post [B] bool)."""
+        app1 = self.base_decode(chan_llr)
+        fail = np.asarray(~self._syndrome_ok(app1))
+        idx = np.nonzero(fail)[0]
+        if idx.size == 0:
+            return app1, jnp.asarray(fail)
+        bucket = max(min_post_batch, 1 << (int(idx.size) - 1).bit_length())
+        pad_idx = np.zeros(bucket, np.int32)
+        pad_idx[: idx.size] = idx
+        sel = jnp.take(chan_llr, jnp.asarray(pad_idx), axis=0)
+        app2 = self.post_decode(sel)[: idx.size]
+        app = app1.at[jnp.asarray(idx)].set(app2)
+        return app, jnp.asarray(fail)
+
     def decode_with_fallback_stats(self, chan_llr, expected_bits: Optional[jnp.ndarray] = None):
         """Decode and count stage statistics (host values).
 

@@ -345,3 +345,38 @@ def test_fused_decoder_odd_z_delegates_to_streaming_kernel():
     x = jnp.asarray(rng.normal(size=(8, g.N, 12)).astype(np.float32) * 3)
     np.testing.assert_allclose(
         np.asarray(fused(x)), np.asarray(dec.apply(params, x)[-1]), atol=2e-5)
+
+
+def test_two_stage_sparse_matches_dense():
+    """decode_sparse (post decoder only on escalated rows) must produce the
+    same outputs as the dense two-stage call, including when nothing fails."""
+    import jax
+
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.two_stage import TwoStageDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    p = dec.init_params()
+    base_decode = jax.jit(lambda x: dec.apply(p, x)[-1])
+    post_decode = jax.jit(lambda x: dec.apply(p, x)[-1] * 2.0)  # distinguishable
+
+    ts = TwoStageDecoder(g, base_decode, post_decode)
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(1.5, 6.0)))
+
+    # noisy batch: some escalations
+    llr, _ = channel.sample_at(jax.random.PRNGKey(2), 64, 0)
+    app_dense, used_dense = ts(llr)
+    app_sparse, used_sparse = ts.decode_sparse(llr, min_post_batch=8)
+    np.testing.assert_array_equal(np.asarray(used_sparse), np.asarray(used_dense))
+    assert np.asarray(used_sparse).sum() > 0
+    np.testing.assert_allclose(np.asarray(app_sparse), np.asarray(app_dense), atol=1e-6)
+
+    # clean batch: no escalations, post decoder never invoked
+    llr2, _ = channel.sample_at(jax.random.PRNGKey(3), 32, 1)
+    app2, used2 = ts.decode_sparse(llr2)
+    assert np.asarray(used2).sum() == 0
+    np.testing.assert_array_equal(np.asarray(app2), np.asarray(base_decode(llr2)))
