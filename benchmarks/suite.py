@@ -68,19 +68,24 @@ def main():
                 fused = FusedMinsumDecoder.from_decoder(dec, p)
                 r = benchmark(fused, x_fused, reps=reps, items_per_call=B)
                 entry["decode_fused_wps"] = round(r.items_per_s, 1)
-        # train step (flat routing)
+        # train step: XLA-autodiff engine and (on TPU) the fused custom-VJP
+        # engine (ops/pallas/fused_train.py)
         dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
             n_iterations=iters, decoder_type=dt, qms_qbit=5,
             sharing=NodeWeightSharingConfig(**sharing)))
         p = dec.init_params()
         channel = AWGNChannel(code, ChannelConfig(qms_qbit=5 if dt == DecoderType.QMS else None))
-        tb = 512
-        init_opt, step = make_train_step(dec, TrainConfig(batch_size=tb))
-        opt = init_opt(p)
-        llr, bits = channel.sample_mixed(jax.random.PRNGKey(0), tb, all_zero=True)
-        r = benchmark(lambda: step(p, opt, llr, bits, jnp.float32(1e-3)),
-                      reps=reps, items_per_call=tb)
-        entry["train_step_wps"] = round(r.items_per_s, 1)
+        engines = ("xla", "fused") if on_tpu else ("xla",)
+        for engine in engines:
+            tb = 4096 if engine == "fused" else 512
+            init_opt, step = make_train_step(dec, TrainConfig(batch_size=tb,
+                                                              engine=engine))
+            opt = init_opt(p)
+            llr, bits = channel.sample_mixed(jax.random.PRNGKey(0), tb, all_zero=True)
+            r = benchmark(lambda: step(p, opt, llr, bits, jnp.float32(1e-3)),
+                          reps=reps, items_per_call=tb)
+            entry[f"train_step_{engine}_wps"] = round(r.items_per_s, 1)
+        entry["train_step_wps"] = entry[f"train_step_{engines[-1]}_wps"]
         results[key] = entry
         print(f"{key}: {json.dumps(entry)}", file=sys.stderr)
 
