@@ -197,9 +197,11 @@ def stage_finetune(pool_ratio=0.25, epochs=60):
     # fresh words at the harvest/operating SNRs
     pipe.channel = AWGNChannel(code, ChannelConfig(snr_db=(4.0, 4.5), qms_qbit=5))
     datagen = pipe.make_post_datagen(d["llr"], d["bits"], rng)
+    from neural_ldpc_tpu.training import LearningRate
+
     tc = dataclasses.replace(
         pipe.post_train, total_epochs=epochs, train_only_params=("weight_ucn",),
-        learning_rate=dataclasses.replace(pipe.post_train.learning_rate),
+        learning_rate=LearningRate(2e-4, 0.0, 0),
         checkpoint_dir="checkpoints/deepfloor_ft")
     trainer = Trainer(pipe.post_decoder, pipe.channel, tc, host_datagen=datagen)
     t0 = time.time()
