@@ -39,7 +39,7 @@ def main():
         fixed_iterative_nodes_init_weight=10))
     bp = {k: jnp.asarray(v) for k, v in np.load("trained/wman_ms10_base75ep.npz").items()}
     pp = {k: jnp.asarray(v)
-          for k, v in np.load("trained/wman_ms13_post_aggressive.npz").items()}
+          for k, v in np.load(os.environ.get("WMAN_POST_NPZ", "trained/wman_ms13_post_aggressive.npz")).items()}
     f_base = FusedMinsumDecoder.from_decoder(base, bp)
     f_post = FusedMinsumDecoder.from_decoder(post, pp)
     ts = TwoStageDecoder(g, f_base, f_post)
@@ -76,7 +76,7 @@ def main():
             "base_fer": tot[0] / words, "system_fer": tot[1] / words,
             "improvement": tot[0] / max(tot[1], 1)}
         print(snr, results[str(snr)], flush=True)
-    with open("benchmarks/wman_two_stage_midsnr.json", "w") as f:
+    with open(os.environ.get("WMAN_TS_OUT", "benchmarks/wman_two_stage_midsnr.json"), "w") as f:
         json.dump(results, f, indent=2)
     return 0
 
