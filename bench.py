@@ -10,10 +10,25 @@ target_iter=4) measured on this image's CPU: 171.8 codewords/s (torch 2.13,
 single CPU, best over batch sizes; re-measured 2026-08-16 — see BASELINE.md.
 The reference publishes no numbers of its own, so the driver-mandated
 ">=10x vs CPU" anchor is this measurement).
+
+Wedge-proof structure (round-2 lesson: the driver's run returned rc=124 with
+no output — the single-process bench spent its whole budget on host->device
+transfers over the slow tunnel plus per-batch-size recompiles before printing
+anything):
+  * every stage runs in its OWN subprocess under a hard watchdog, so a hung
+    compile/execute can never strand the parent — the parent emits the best
+    number of whatever stages completed;
+  * stage 1 is the plain XLA path at one batch size: compiles in ~20s and
+    guarantees a first JSON-able number within ~1 minute;
+  * stage 2 upgrades to the fused Pallas kernel (the actual headline);
+  * all benchmark data is generated ON DEVICE (jax.random.normal) — the
+    axon tunnel moves ~10 MB/s, so a host-side numpy batch ladder alone
+    blows the driver budget before any timing begins.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,17 +36,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CPU_WORDS_PER_S = 171.8
 
+# (name, argv suffix, watchdog seconds).  Ordered cheapest-first so a later
+# hang can only ever cost its own stage.
+STAGES = [
+    ("xla", 240.0),
+    ("fused", 420.0),
+]
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
 
+def _build_decoder():
     from neural_ldpc_tpu.codes import TannerGraph, get_code
     from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
     from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
-
-    from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
 
     code = get_code("wman_n576_r34_z24")
     graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
@@ -44,54 +60,128 @@ def main():
             convention=Convention.STANDARD,
         ),
     )
-    params = decoder.init_params()
+    return code, decoder, decoder.init_params()
 
-    # fused Pallas kernel (messages VMEM-resident across iterations); falls
-    # back to the XLA flat path off-TPU or if the kernel fails to build/run
-    decode = None
-    if jax.default_backend() != "cpu":
-        try:
-            fused = FusedMinsumDecoder.from_decoder(decoder, params)
-            probe = jnp.zeros((256, code.N, code.Z), jnp.float32)
-            jax.block_until_ready(fused(probe))
-            # no outer jit: the fused decoder jits its own body; an enclosing
-            # jit would inline the pallas_call and let XLA try to pin the
-            # whole [NZ, B] output in scoped VMEM (montecarlo._build_step
-            # keeps the same jit boundary for the same reason)
-            decode = lambda p, x: fused(x)  # noqa: E731
-        except Exception as e:  # pragma: no cover - resilience for the driver
-            print(f"fused kernel unavailable ({type(e).__name__}); XLA path", file=sys.stderr)
-    if decode is None:
-        decode = jax.jit(lambda p, x: decoder.apply(p, x)[-1])
 
-    rng = np.random.default_rng(0)
-    best = 0.0
-    best_batch = 0
-    for batch in (16384, 65536, 262144, 524288):
-        x = jnp.asarray(rng.normal(size=(batch, code.N, code.Z)).astype(np.float32) * 4)
-        out = decode(params, x)
+def _time_decode(decode, code, batches):
+    """Best words/s over on-device random batches (no host transfers)."""
+    import jax
+    import jax.numpy as jnp
+
+    best, best_batch = 0.0, 0
+    for batch in batches:
+        t0 = time.perf_counter()
+        x = jax.random.normal(
+            jax.random.PRNGKey(batch), (batch, code.N, code.Z), jnp.float32
+        ) * 4.0
+        out = decode(x)
         jax.block_until_ready(out)  # compile + warmup
-        reps = max(1, int(4_000_000 / batch))
-        reps = min(reps, 50)
+        print(
+            f"  batch {batch}: compile+warmup {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+        reps = min(max(1, int(4_000_000 / batch)), 50)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = decode(params, x)
+            out = decode(x)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         wps = batch * reps / dt
-        print(f"batch {batch}: {wps:,.0f} words/s ({reps} reps, {dt:.3f}s)", file=sys.stderr)
+        print(
+            f"  batch {batch}: {wps:,.0f} words/s ({reps} reps, {dt:.3f}s)",
+            file=sys.stderr, flush=True,
+        )
         if wps > best:
             best, best_batch = wps, batch
+    return best, best_batch
+
+
+def run_stage(stage: str):
+    """Run one engine's measurement and print its JSON line to stdout."""
+    import jax
+
+    code, decoder, params = _build_decoder()
+    if stage == "xla":
+        decode = jax.jit(lambda x: decoder.apply(params, x)[-1])
+        # one batch size: this stage exists to land a number fast (the
+        # slot-matmul XLA compile alone costs ~2 min at large batch)
+        best, best_batch = _time_decode(decode, code, (16384,))
+    elif stage == "fused":
+        from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+
+        fused = FusedMinsumDecoder.from_decoder(decoder, params)
+        # throughput flattens past 64k (measured: 12.22M @64k vs 12.44M @256k)
+        # but each extra batch size costs a full recompile; 128k captures the
+        # plateau at half the compile bill of 256k
+        best, best_batch = _time_decode(fused, code, (16384, 65536, 131072))
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+    print(json.dumps({"stage": stage, "value": best, "batch": best_batch}), flush=True)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        run_stage(sys.argv[2])
+        return
+
+    best = None
+    for stage, budget in STAGES:
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", stage],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=budget,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"stage {stage}: watchdog expired ({budget:.0f}s)", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        result = None
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    result = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+                break
+        if proc.returncode != 0 or result is None:
+            print(f"stage {stage}: rc={proc.returncode}, no result", file=sys.stderr)
+            continue
+        print(
+            f"stage {stage}: {result['value']:,.0f} words/s "
+            f"(batch {result['batch']}, {dt:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
+        if best is None or result["value"] > best["value"]:
+            best = result
+
+    if best is None:
+        # even the XLA stage failed — report that honestly rather than hang
+        print(json.dumps({
+            "metric": "decoded codewords/s/chip (wman N=576 R=3/4, min-sum, 5 iterations)",
+            "value": 0.0,
+            "unit": "codewords/s/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": "all benchmark stages failed or timed out"},
+        }))
+        sys.exit(1)
+
+    import jax
 
     print(
         json.dumps(
             {
                 "metric": "decoded codewords/s/chip (wman N=576 R=3/4, min-sum, 5 iterations)",
-                "value": round(best, 1),
+                "value": round(best["value"], 1),
                 "unit": "codewords/s/chip",
-                "vs_baseline": round(best / REFERENCE_CPU_WORDS_PER_S, 2),
+                "vs_baseline": round(best["value"] / REFERENCE_CPU_WORDS_PER_S, 2),
                 "detail": {
-                    "batch": best_batch,
+                    "batch": best["batch"],
+                    "engine": best["stage"],
                     "device": str(jax.devices()[0]),
                     "baseline": "torch reference CPU, same workload, 171.8 words/s",
                 },

@@ -35,7 +35,12 @@ _SP_EPS = 1e-7  # atanh clamp (reference :406-408)
 
 @dataclasses.dataclass(frozen=True)
 class GraphArrays:
-    """Device-constant (trace-time) views of a TannerGraph's index tables."""
+    """Trace-time constant views of a TannerGraph's index tables.
+
+    Kept as HOST numpy arrays: jit lowering embeds closed-over constants in
+    the MLIR module, and a device-resident constant would be fetched back
+    device->host at every trace — tens of seconds over a remote-TPU tunnel.
+    """
 
     M: int
     N: int
@@ -60,15 +65,15 @@ class GraphArrays:
         return GraphArrays(
             M=g.M, N=g.N, Z=g.Z, E=g.E,
             max_cn_degree=g.max_cn_degree, max_vn_degree=g.max_vn_degree,
-            cn_of_edge=jnp.asarray(g.cn_of_edge),
-            vn_of_edge=jnp.asarray(g.vn_of_edge),
-            slot_of_edge=jnp.asarray(g.slot_of_edge),
-            cn_edges_flat=jnp.asarray(g.cn_edges.reshape(-1)),
-            vn_edges_flat=jnp.asarray(g.vn_edges.reshape(-1)),
-            z_roll_in=jnp.asarray(g.z_roll_in)[None],
-            z_roll_out=jnp.asarray(g.z_roll_out)[None],
-            deg_sign=jnp.asarray(deg_sign_cn[g.cn_of_edge]),
-            cn_deg_sign=jnp.asarray(deg_sign_cn),
+            cn_of_edge=np.asarray(g.cn_of_edge),
+            vn_of_edge=np.asarray(g.vn_of_edge),
+            slot_of_edge=np.asarray(g.slot_of_edge),
+            cn_edges_flat=np.asarray(g.cn_edges.reshape(-1)),
+            vn_edges_flat=np.asarray(g.vn_edges.reshape(-1)),
+            z_roll_in=np.asarray(g.z_roll_in)[None],
+            z_roll_out=np.asarray(g.z_roll_out)[None],
+            deg_sign=deg_sign_cn[g.cn_of_edge],
+            cn_deg_sign=deg_sign_cn,
         )
 
 

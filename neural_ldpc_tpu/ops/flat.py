@@ -97,15 +97,20 @@ class FlatGraphArrays:
             Cb_np = np.zeros((M * Z, E * Z), np.float32)
             for ee in range(E):
                 Cb_np[g.cn_of_edge[ee] * Z + z, ee * Z + z] = 1.0
-            Ts, Cb = jnp.asarray(Ts_np), jnp.asarray(Cb_np)
+            Ts, Cb = Ts_np, Cb_np
 
+        # All tables stay HOST-side numpy: a jnp constant here would have to
+        # be fetched device->host at every jit *lowering* that closes over it
+        # (jax embeds constants in the MLIR module), which over a remote-TPU
+        # tunnel costs tens of seconds per trace.  numpy constants lower from
+        # host memory directly; XLA ships them with the executable once.
         return FlatGraphArrays(
             M=M, N=N, Z=Z, E=E, D=D,
-            R=jnp.asarray(R),
-            cn_gather=jnp.asarray(np.minimum(g.cn_edges, E).reshape(-1).astype(np.int32)),
-            cn_of_edge=jnp.asarray(g.cn_of_edge),
-            slot_of_edge=jnp.asarray(g.slot_of_edge),
-            cn_slot_mask=jnp.asarray((g.cn_edges < E).astype(np.float32)),
+            R=R,
+            cn_gather=np.minimum(g.cn_edges, E).reshape(-1).astype(np.int32),
+            cn_of_edge=np.asarray(g.cn_of_edge),
+            slot_of_edge=np.asarray(g.slot_of_edge),
+            cn_slot_mask=(g.cn_edges < E).astype(np.float32),
             Ts=Ts, Cb=Cb,
         )
 

@@ -783,7 +783,7 @@ class FusedTrainDecoder:
                              "(streaming decode) or the XLA training engine")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(graph)
-        self.edge_perm = jnp.asarray(edge_perm)
+        self.edge_perm = edge_perm  # host numpy: closed over by outer jits
         Z, Zp = graph.Z, _round8(graph.Z)
         NZ, NZp = graph.N * Z, graph.N * Zp
         self.meta = _TrainMeta(
@@ -822,12 +822,14 @@ class FusedTrainDecoder:
         self.interpret = interpret
         if routing == "roll":
             # no routing operands; tiny placeholders keep the kernel signature
-            dummy = jnp.zeros((8, 128), routing_dtype)
+            dummy = np.zeros((8, 128), jnp.dtype(routing_dtype))
             self._r = self._rt = dummy
         else:
             operand_dtype = jnp.int8 if int8_routing else routing_dtype
-            self._r = jnp.asarray(R, operand_dtype)
-            self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
+            # host numpy: device-resident constants would be fetched back
+            # device->host at every jit lowering that closes over them
+            self._r = R.astype(jnp.dtype(operand_dtype))
+            self._rt = np.ascontiguousarray(R.T).astype(jnp.dtype(operand_dtype))
 
         self._vjp = jax.custom_vjp(self._primal)
         self._vjp.defvjp(self._vjp_fwd, self._vjp_bwd)

@@ -387,7 +387,7 @@ class FusedMinsumDecoder:
             self.meta = self._delegate.meta
             self.bt = self._delegate.bt
             self._w = tuple(
-                None if w is None else jnp.asarray(np.asarray(w, np.float32))
+                None if w is None else np.asarray(w, np.float32)
                 for w in (cn_weights, ucn_weights, vn_weights)
             )
             self._all_iterations = all_iterations
@@ -431,27 +431,30 @@ class FusedMinsumDecoder:
 
         from ..flat import FlatGraphArrays
 
+        # host numpy (not device arrays): the outer jit in __call__ closes
+        # over these, and device-resident constants are fetched back over the
+        # (slow, when remote) tunnel at every lowering
         operand_dtype = jnp.int8 if int8_routing else routing_dtype
         R = np.asarray(FlatGraphArrays.from_graph(graph, cn_reduce="gather").R)
-        self._r = jnp.asarray(R, operand_dtype)
-        self._rt = jnp.asarray(np.ascontiguousarray(R.T), operand_dtype)
+        self._r = R.astype(operand_dtype)
+        self._rt = np.ascontiguousarray(R.T).astype(operand_dtype)
 
         I, EZ, NZ = n_iterations, graph.E * graph.Z, graph.N * graph.Z
         if cn_weights is not None:
             cw = np.repeat(np.asarray(cn_weights, np.float32), graph.Z, axis=1)
-            self._cn_w = jnp.asarray(cw.reshape(I, EZ, 1))
+            self._cn_w = cw.reshape(I, EZ, 1)
         else:
-            self._cn_w = jnp.ones((I, EZ, 1), jnp.float32)
+            self._cn_w = np.ones((I, EZ, 1), np.float32)
         if vn_weights is not None:
             vw = np.repeat(np.asarray(vn_weights, np.float32), graph.Z, axis=1)
-            self._vn_w = jnp.asarray(vw.reshape(I, NZ, 1))
+            self._vn_w = vw.reshape(I, NZ, 1)
         else:
-            self._vn_w = jnp.ones((I, NZ, 1), jnp.float32)
+            self._vn_w = np.ones((I, NZ, 1), np.float32)
         if ucn_weights is not None:
             uw = np.repeat(np.asarray(ucn_weights, np.float32), graph.Z, axis=1)
-            self._ucn_w = jnp.asarray(uw.reshape(I, EZ, 1))
+            self._ucn_w = uw.reshape(I, EZ, 1)
         else:
-            self._ucn_w = jnp.ones((I, EZ, 1), jnp.float32)
+            self._ucn_w = np.ones((I, EZ, 1), np.float32)
         self._jitted = None
 
     @staticmethod
