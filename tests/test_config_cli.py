@@ -95,6 +95,7 @@ def test_profiling_harness():
     assert "a" in rep and "share" in rep
 
 
+@pytest.mark.slow
 def test_profile_cli_runs():
     from neural_ldpc_tpu.cli.profile import main
 

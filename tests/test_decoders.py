@@ -293,6 +293,7 @@ def test_flat_cn_reduce_strategies_agree():
     )
 
 
+@pytest.mark.slow
 def test_flat_routing_is_differentiable():
     """Gradients must flow through the flat path (training uses it too)."""
     import jax
@@ -338,6 +339,7 @@ def test_neural_decoder_flat_matches_edge():
     )
 
 
+@pytest.mark.slow
 def test_degree_specific_sharing_mode():
     """SharingMode.DEGREE_ITER (framework extension, arXiv:2107.04221): one
     weight per distinct node degree per iteration.  With every class set to

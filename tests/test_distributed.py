@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy lane: run with `pytest -m slow`
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
@@ -70,6 +72,7 @@ for it in range(2):
 
 import json
 import numpy as np
+
 out = {k: np.asarray(jax.device_get(v)).tolist() for k, v in params.items()}
 print("RESULT" + str(pid) + "=" + json.dumps(out), flush=True)
 """

@@ -11,6 +11,8 @@ from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
 from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
 from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
 
+pytestmark = pytest.mark.slow  # heavy lane: run with `pytest -m slow`
+
 
 def _build(code_name, **cfg_kw):
     code = get_code(code_name)

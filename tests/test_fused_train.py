@@ -18,6 +18,8 @@ from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder, build_layo
 from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
 from neural_ldpc_tpu.training.loss import multi_iteration_loss
 
+pytestmark = pytest.mark.slow  # heavy lane: run with `pytest -m slow`
+
 
 def _setup(code_name, n_iter, dec_type, sharing, seed=0, B=32):
     code = get_code(code_name)

@@ -131,6 +131,7 @@ def test_host_datagen_matches_device_convention(bg2):
     assert ref.llr.mean() < 0
 
 
+@pytest.mark.slow
 def test_host_datagen_feeds_trainer(bg2):
     """The native host channel can drive the training loop end to end."""
     import jax.numpy as jnp

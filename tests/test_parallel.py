@@ -34,6 +34,7 @@ def setup():
     return code, decoder, channel
 
 
+@pytest.mark.slow
 def test_sharded_decode_matches_single_device(mesh, setup):
     code, decoder, channel = setup
     params = decoder.init_params()
@@ -46,6 +47,7 @@ def test_sharded_decode_matches_single_device(mesh, setup):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_error_counts_are_global(mesh, setup):
     code, decoder, channel = setup
     params = decoder.init_params()
@@ -62,6 +64,7 @@ def test_sharded_error_counts_are_global(mesh, setup):
     assert float(c.total_frames) == 24
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(mesh, setup):
     """Gradients psum'd over the mesh must equal the single-device update."""
     code, decoder, channel = setup
@@ -86,6 +89,7 @@ def test_sharded_train_step_matches_single_device(mesh, setup):
     )
 
 
+@pytest.mark.slow
 def test_montecarlo_campaign_sharded_and_restartable(mesh, setup, tmp_path):
     code, decoder, channel = setup
     params = decoder.init_params()

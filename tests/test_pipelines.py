@@ -19,6 +19,8 @@ from neural_ldpc_tpu.training import LearningRate, TrainConfig
 from neural_ldpc_tpu.training.boosted_pipeline import BoostedPipeline, BoostedPipelineConfig
 from neural_ldpc_tpu.training.greedy import GreedyLayerTrainer, GreedyTrainConfig
 
+pytestmark = pytest.mark.slow  # heavy lane: run with `pytest -m slow`
+
 
 def test_greedy_layer_training_moves_only_trained_layers():
     code = get_code("wman_n576_r34_z24")

@@ -31,6 +31,7 @@ def setup():
     return code, graph, decoder, channel
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(setup):
     _, _, decoder, channel = setup
     cfg = TrainConfig(batch_size=32)
@@ -51,6 +52,7 @@ def test_train_step_reduces_loss(setup):
         assert float(v.min()) >= 0.0 and float(v.max()) <= 2.0
 
 
+@pytest.mark.slow
 def test_frozen_rows_do_not_move(setup):
     code, graph, _, channel = setup
     decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
@@ -72,6 +74,7 @@ def test_frozen_rows_do_not_move(setup):
     assert np.abs(after[2:] - before[2:]).max() > 0  # trained
 
 
+@pytest.mark.slow
 def test_trainer_short_run(tmp_path, setup):
     code, graph, decoder, channel = setup
     cfg = TrainConfig(
@@ -156,6 +159,7 @@ def test_train_step_clean_under_debug_nans():
     assert bool(jnp.isfinite(loss))
 
 
+@pytest.mark.slow
 def test_resume_bitwise_matches_uninterrupted(tmp_path, setup):
     """Train 6 epochs straight vs 3 epochs + resume-from-checkpoint: final
     params, optimizer state and RNG stream must match exactly (VERDICT round-1
@@ -189,6 +193,7 @@ def test_resume_bitwise_matches_uninterrupted(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cli_train_resume(tmp_path, setup):
     """--resume flag end-to-end through the CLI."""
     from neural_ldpc_tpu.cli.train import main
