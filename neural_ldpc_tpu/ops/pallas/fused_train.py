@@ -553,7 +553,7 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
 # ---------------------------------------------------------------------------
 def _bwd_kernel(meta: _TrainMeta, routing_dtype,
                 chan_ref, chanq_ref, rt_ref, r_ref, cnw_ref, vnw_ref, ucnw_ref,
-                store_ref, outs_ref, prevout_ref, gout_ref,
+                store_ref, prevout_ref, gout_ref,
                 gcnw_ref, gvnw_ref, gucnw_ref, gchan_ref, gchanq_ref,
                 gmsg_scr, gsums_scr):
     I = meta.n_iterations
@@ -594,10 +594,28 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
         ucn_mask = _ucn_mask_from_app(app, rt_ref, meta, routing_dtype)
         scn_mask = 1.0 - ucn_mask
 
-    routed = _route_e_from_n(xa_q + sums_prev, rt_ref, meta, routing_dtype)
+    vn_total = xa_q + sums_prev
+    routed = _route_e_from_n(vn_total, rt_ref, meta, routing_dtype)
     v2c_pre = routed - msg_prev
     lo_m, hi_m = _msg_range(meta)
     mask_v2c = _clip_grad_mask(v2c_pre, lo_m, hi_m)
+    if meta.int8_routing and meta.routing == "matmul":
+        # int8 routing pre-clips the VN total to +-2*q_hi (value-exact for the
+        # forward: the quantizer saturates anyway), but the XLA gradient
+        # semantics see the UNCLIPPED total — a saturated total lands v2c_pre
+        # exactly on the quantizer boundary here (mask 0.5) where the true
+        # value is strictly beyond it (mask 0).  Route a -1/0/+1 saturation
+        # indicator (exact in int8) and zero those boundary masks.
+        _, q_hi, _ = _QMS_TABLE[meta.qms_qbit]
+        t_clip = 2.0 * q_hi
+        sat_n = (jnp.where(vn_total > t_clip, 1.0, 0.0)
+                 - jnp.where(vn_total < -t_clip, 1.0, 0.0)).astype(jnp.int8)
+        sat = jnp.dot(rt_ref[:], sat_n, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        at_hi = (sat > 0) & (v2c_pre == hi_m)
+        at_lo = (sat < 0) & (v2c_pre == lo_m)
+        mask_v2c = jnp.where(at_hi | at_lo, 0.0, mask_v2c)
     v2c = _clip_or_quant(v2c_pre, meta)
 
     # ---- adjoint of the post-CN chain, fused with the min-sum recompute ----
@@ -683,7 +701,6 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
             pl.BlockSpec((1,) + vnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + ucnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, EZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
             # pre-clip APP of iteration i-1 (block 0 read harmlessly at i=0)
             pl.BlockSpec(
                 (1, NZp, bt),
@@ -712,7 +729,7 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
-    )(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, outs, g_outs)
+    )(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs)
     g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq = res
     return (
         g_cnw_b.sum(axis=0),  # [I, EZp, 1]

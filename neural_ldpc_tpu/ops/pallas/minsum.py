@@ -363,7 +363,18 @@ class FusedMinsumDecoder:
         # legacy one-hot-matmul kernel, benchmarks/measure_r2.json).  The
         # round-1 fori_loop kernel remains as engine="legacy" for comparison.
         self._delegate = None
+        if engine not in ("stream", "legacy"):
+            raise ValueError(f"unknown engine {engine!r}")
         if engine == "stream" or not _supported(graph) or all_iterations:
+            if engine == "legacy":
+                import warnings
+
+                warnings.warn(
+                    "engine='legacy' requires Z % 8 == 0 and final-only output; "
+                    f"this config (Z={graph.Z}, all_iterations={all_iterations}) "
+                    "delegates to the stream kernel instead",
+                    stacklevel=2,
+                )
             from .fused_train import FusedTrainDecoder
 
             if int8_routing is None:

@@ -284,11 +284,10 @@ class Trainer:
             params = jax.device_put(params, NamedSharding(self.mesh, P()))
         opt_state = opt_state if opt_state is not None else self.init_opt_state(params)
         key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
-        lr_sched = cfg.learning_rate
-        # resuming mid-run: replay the per-epoch schedule calls so the stateful
-        # step-decay (lr_schedule.py decay quirk) lands on the same value
-        for _ in range(max(0, start_epoch - 1)):
-            lr_sched()
+        # fresh clone per train() call: the config's instance is shared, and
+        # advancing it in place would double-advance on train-then-resume
+        lr_sched = cfg.learning_rate.clone()
+        lr_sched.step = max(0, start_epoch - 1)
         batches_per_epoch = floor(cfg.train_words_per_epoch / cfg.batch_size)
         valid_batches = floor(cfg.validate_words / cfg.batch_size)
 

@@ -54,7 +54,14 @@ def main(retro_iters=5, epochs=40):
     rp["weight_ucn"] = jnp.asarray(
         np.broadcast_to(np.asarray(bp["weight_cn"]), (n_iters, g.M)).copy())
 
-    pool = np.load("trained/bg2_errorfloor_pool.npz")
+    pool_path = "trained/bg2_errorfloor_pool.npz"
+    if not os.path.exists(pool_path):
+        raise SystemExit(
+            f"{pool_path} not found (failure pools are not tracked in git; see "
+            "trained/README.md). Regenerate it with:\n"
+            "  python scripts/run_boosted_pipeline.py --stage harvest"
+        )
+    pool = np.load(pool_path)
     llr_pool, bits_pool = pool["llr"], pool["bits"]
     rng = np.random.default_rng(17)
     key_holder = [jax.random.PRNGKey(12)]

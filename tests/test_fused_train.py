@@ -212,3 +212,56 @@ def test_fused_train_roll_routing_odd_z():
     np.testing.assert_allclose(
         np.asarray(ft.apply(cn_w, ucn_w, vn_w, llr)),
         np.asarray(dec.apply(params, llr)), atol=2e-5)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_fused_train_matmul_routing_grads(int8):
+    """Gradient parity for explicit routing='matmul' (ADVICE r2: the auto
+    picker chooses roll for every shipped code, so the matmul VJP — incl. the
+    int8 saturation-boundary mask — was never grad-tested).  High channel
+    LLRs force saturated VN totals, exercising the int8 pre-clip path whose
+    backward mask must still match the XLA semantics (strictly-beyond-boundary
+    = mask 0, not 0.5)."""
+    code = get_code("nr_bg2_set0_z16")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    sharing = NodeWeightSharingConfig(cn=3, ucn=0, vn=3)
+    cfg = BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.QMS, sharing=sharing,
+        matmul_precision="highest",
+    )
+    dec = BoostedNeuralDecoder(g, cfg)
+    rng = np.random.default_rng(7)
+    params = {
+        k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+        for k, v in dec.init_params().items()
+    }
+    sigma = 0.35  # LLR scale 2/sigma^2 ~ 16: totals saturate the +-2*q_hi clip
+    llr = jnp.asarray(
+        (2 * (1.0 + sigma * rng.standard_normal((16, code.N, code.Z))) / sigma**2).astype(np.float32)
+    )
+    bits = jnp.zeros((16, code.N * code.Z), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing="matmul", routing_dtype=jnp.float32,
+        int8_routing=int8,
+    )
+    assert ft.meta.routing == "matmul" and ft.meta.int8_routing == int8
+    coeffs = [0, 1, 2]
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=coeffs)
+
+    def loss_fused(p):
+        cn_w, ucn_w, vn_w = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cn_w, ucn_w, vn_w, llr), bits, coeff=coeffs)
+
+    o_flat = dec.apply(params, llr)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    o_fused = ft.apply(cn_w, ucn_w, vn_w, llr)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_flat), atol=2e-5)
+
+    lf, gf = jax.value_and_grad(loss_flat)(params)
+    lk, gk = jax.value_and_grad(loss_fused)(params)
+    assert abs(float(lf) - float(lk)) < 1e-6
+    for k in gf:
+        a, b = np.asarray(gf[k]), np.asarray(gk[k])
+        np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
