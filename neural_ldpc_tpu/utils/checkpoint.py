@@ -17,6 +17,7 @@ from datetime import datetime
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -136,3 +137,100 @@ class CheckpointManager:
                 with open(index_file, "a") as f:
                     f.write(f"{name}, {list(arr.shape)}, {fname}\n")
         return path
+
+
+# ---------------------------------------------------------------------------
+# Torch-reference checkpoint import
+# ---------------------------------------------------------------------------
+def _read_reference_txt_dir(txt_dir: str) -> dict[str, np.ndarray]:
+    """Parse a reference ``*_weights_txt`` export (CheckPointUtil.py:91-122):
+    an ``index.txt`` manifest of ``name, [shape], filename`` rows plus one
+    ``np.savetxt`` file per parameter."""
+    named = {}
+    with open(os.path.join(txt_dir, "index.txt")) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    for line in lines:
+        if line.startswith(("#", "-", "Parameter_Name")):
+            continue
+        # "{name}, {list(shape)}, {filename}" — the shape repr has inner commas
+        name, rest = line.split(", ", 1)
+        shape_s, fname = rest.rsplit(", ", 1)
+        shape = json.loads(shape_s)
+        arr = np.loadtxt(os.path.join(txt_dir, fname), dtype=np.float64)
+        named[name] = np.asarray(arr, np.float32).reshape(shape)
+    return named
+
+
+def _read_reference_pth(path: str) -> dict[str, np.ndarray]:
+    """Load a reference ``.pth`` — either a full training checkpoint
+    (``{'model_state_dict': ...}``, CheckPointUtil.save :21-63) or a bare
+    ``state_dict`` (save_weights :65-89)."""
+    import torch  # the torch-cpu wheel in this image; only needed for .pth
+
+    try:
+        data = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        data = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(data, dict) and "model_state_dict" in data:
+        data = data["model_state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy(), np.float32) for k, v in data.items()}
+
+
+def read_reference_named_weights(path: str) -> dict[str, np.ndarray]:
+    """Reference checkpoint -> {parameter name: array}, from a ``.pth`` file
+    or a ``*_weights_txt`` directory."""
+    if os.path.isdir(path):
+        return _read_reference_txt_dir(path)
+    return _read_reference_pth(path)
+
+
+def import_reference_weights(decoder, path: str):
+    """Build a framework params pytree from a torch-reference checkpoint.
+
+    ``decoder`` is a BoostedNeuralDecoder (stacked ``weight_{cn,ucn,vn}``
+    leaves; reference names ``weight_{CN,UCN,VN}_{iter}``,
+    BoostedNeuralLDPCDecoder._param_name :105-106) or a NeuralMinSumDecoder
+    (``weights_var``/``biases_var`` stacks; reference nn.ParameterList keys
+    ``weights_var.{i}``).  Inverse of ``named_parameter_rows``; cross-validates
+    trained reference decoders inside this framework."""
+    named = read_reference_named_weights(path)
+
+    if hasattr(decoder, "specs"):  # boosted family
+        params = {}
+        template = decoder.init_params()
+        for key, spec in decoder.specs.items():
+            pk = f"weight_{key}"
+            if pk not in template:
+                continue
+            row_iters = spec.temporal_rows if spec.temporal_rows else range(spec.n_iterations)
+            rows = []
+            for it in row_iters:
+                name = f"weight_{key.upper()}_{it}"
+                if name not in named:
+                    raise KeyError(
+                        f"reference checkpoint at {path!r} is missing {name!r} "
+                        f"(has: {sorted(named)[:8]}...)"
+                    )
+                rows.append(np.asarray(named[name], np.float32).reshape(-1))
+            params[pk] = jnp.asarray(np.stack(rows))
+            if params[pk].shape != template[pk].shape:
+                raise ValueError(
+                    f"{pk}: reference rows stack to {params[pk].shape}, decoder "
+                    f"expects {template[pk].shape} (sharing config mismatch?)"
+                )
+        return params
+
+    # Dai neural decoder: ParameterList entries weights_var.{i} / biases_var.{i}
+    n = decoder.config.n_iterations
+    out = {}
+    for stack, ref_prefix in (("weights_var", "weights_var"), ("biases_var", "biases_var")):
+        rows = []
+        for i in range(n):
+            for cand in (f"{ref_prefix}.{i}", f"{ref_prefix}_{i}"):
+                if cand in named:
+                    rows.append(np.asarray(named[cand], np.float32).reshape(-1))
+                    break
+            else:
+                raise KeyError(f"reference checkpoint missing {ref_prefix}.{i}")
+        out[stack] = jnp.asarray(np.stack(rows))
+    return out
