@@ -191,27 +191,51 @@ def make_eval_step(decoder: BoostedNeuralDecoder, train_cfg: TrainConfig, mesh=N
     return jax.jit(step)
 
 
+def format_eta(seconds: float) -> str:
+    """Largest-two-units ETA rendering ("2h 5m" / "5m 12s" / "47s")."""
+    h, rem = divmod(int(seconds), 3600)
+    m, s = divmod(rem, 60)
+    if h:
+        return f"{h}h {m}m"
+    if m:
+        return f"{m}m {s}s"
+    return f"{s}s"
+
+
+def format_train_progress(
+    current_batch, total_batches, current_epoch, total_epochs,
+    loss=None, start_time=None, bar_length=40, now=None,
+) -> str:
+    """One progress line (pure; the reference renders the same fields inline,
+    train/train_BoostedNeuralLDPCDecoder.py:21-69).  The bar fills by EPOCH
+    fraction while the counter shows batches — the reference's convention."""
+    now = now if now is not None else datetime.now()
+    filled = int(bar_length * current_epoch / max(total_epochs, 1))
+    parts = [
+        f"[{now.strftime('%H:%M:%S')}]",
+        f"Epoch {current_epoch}/{total_epochs}",
+        f"[{'#' * filled}{' ' * (bar_length - filled)}]",
+        f"{current_batch}/{total_batches}",
+    ]
+    if loss is not None:
+        parts.append(f"Loss: {loss:.6f}")
+    done = (current_epoch - 1) * total_batches + current_batch
+    if start_time is not None and current_batch > 0 and done > 0:
+        elapsed = now.timestamp() - start_time
+        remaining = total_epochs * total_batches - done
+        parts.append(f"ETA: {format_eta(remaining * elapsed / done)}")
+    return " ".join(parts)
+
+
 def print_train_progress(
     current_batch, total_batches, current_epoch, total_epochs,
     loss=None, start_time=None, bar_length=40,
 ):
-    """TTY progress bar with ETA (reference train/…:21-69)."""
-    percent = current_epoch / max(total_epochs, 1)
-    filled = int(bar_length * percent)
-    bar = "#" * filled + " " * (bar_length - filled)
-    ts = datetime.now().strftime("%H:%M:%S")
-    s = f"[{ts}] Epoch {current_epoch}/{total_epochs} [{bar}] {current_batch}/{total_batches}"
-    if loss is not None:
-        s += f" Loss: {loss:.6f}"
-    if start_time is not None and current_batch > 0:
-        elapsed = datetime.now().timestamp() - start_time
-        done = (current_epoch - 1) * total_batches + current_batch
-        total = total_epochs * total_batches
-        if done > 0:
-            eta = (total - done) * elapsed / done
-            h, m, sec = int(eta // 3600), int((eta % 3600) // 60), int(eta % 60)
-            s += f" ETA: {f'{h}h {m}m' if h else (f'{m}m {sec}s' if m else f'{sec}s')}"
-    stdout.write("\r" + s)
+    """In-place TTY progress bar with ETA; newline on the epoch's last batch."""
+    stdout.write("\r" + format_train_progress(
+        current_batch, total_batches, current_epoch, total_epochs,
+        loss, start_time, bar_length,
+    ))
     stdout.flush()
     if current_batch == total_batches:
         stdout.write("\n")

@@ -117,3 +117,49 @@ def test_derive_gen_matrix_config_flag():
     channel = cfg.build_channel(code)
     llr, bits = channel.sample_mixed(jax.random.PRNGKey(0), 4, all_zero=False)
     assert float(bits.sum()) > 0
+
+
+def test_metrics_logger_golden_format(tmp_path):
+    """Byte-level golden file for the training_metrics.txt format (parity with
+    the reference MetricsLogger's output, src/checkpoint_utils/
+    MetricsLogger.py:37-56: header block on epoch 0, %.6e for *ber* keys,
+    %.6f otherwise, trailing checkpoint column)."""
+    from datetime import datetime
+
+    from neural_ldpc_tpu.utils.metrics_logger import MetricsLogger
+
+    frozen = datetime(2026, 3, 1, 12, 30, 45)
+    lg = MetricsLogger(str(tmp_path), clock=lambda: frozen)
+    metrics = {"loss": 0.123456789, "ber_last_iter": 3.25e-5, "fer_last_iter": 0.5}
+    lg.log(0, metrics, "ckpt_0000.npz", config={"lr": 0.001, "iters": 20})
+    lg.log(7, metrics, "ckpt_0007.npz")
+
+    expected = (
+        "# Training started: 2026-03-01 12:30:45\n"
+        "# Config: lr=0.001, iters=20\n"
+        "# Columns: Epoch, Timestamp, loss, ber_last_iter, fer_last_iter, Checkpoint_File\n"
+        + "-" * 120 + "\n"
+        "   0, 2026-03-01 12:30:45, 0.123457, 3.250000e-05, 0.500000, ckpt_0000.npz\n"
+        "   7, 2026-03-01 12:30:45, 0.123457, 3.250000e-05, 0.500000, ckpt_0007.npz\n"
+    )
+    assert (tmp_path / "training_metrics.txt").read_text() == expected
+
+    assert lg.is_best(1e-3) and not lg.is_best(1e-3) and lg.is_best(1e-4)
+
+
+def test_train_progress_golden_format():
+    """Golden string for the progress line (reference train/…:21-69 fields)."""
+    from datetime import datetime
+
+    from neural_ldpc_tpu.training.train_loop import format_eta, format_train_progress
+
+    now = datetime(2026, 3, 1, 9, 0, 0)
+    line = format_train_progress(
+        50, 100, 2, 4, loss=0.054321, start_time=now.timestamp() - 150.0,
+        bar_length=8, now=now,
+    )
+    # epoch 2/4 -> half-filled bar; 150 done of 400 total in 150s -> ETA 250s
+    assert line == "[09:00:00] Epoch 2/4 [####    ] 50/100 Loss: 0.054321 ETA: 4m 10s"
+    assert format_train_progress(0, 10, 1, 2, now=now) == \
+        "[09:00:00] Epoch 1/2 [" + "#" * 20 + " " * 20 + "] 0/10"
+    assert format_eta(7500) == "2h 5m" and format_eta(47) == "47s" and format_eta(312) == "5m 12s"
