@@ -88,8 +88,14 @@ class BoostedNeuralDecoder:
                 "flat routing implements the STANDARD convention only; "
                 "REFERENCE-parity needs routing='edge'"
             )
+        # flat routing's one-hot operand is [N*Z, E*Z] f32; past ~64 MB the
+        # embedded constant dominates compile (and can exceed remote-compile
+        # request limits) — auto falls back to the O(E) gather tables then
+        flat_operand_bytes = graph.N * graph.Z * graph.E * graph.Z * 4
         self.use_flat = config.routing == "flat" or (
-            config.routing == "auto" and config.convention == Convention.STANDARD
+            config.routing == "auto"
+            and config.convention == Convention.STANDARD
+            and flat_operand_bytes <= 64 * 1024 * 1024
         )
         # built eagerly: constructing device constants lazily inside a jit
         # trace would cache tracers on self (UnexpectedTracerError)

@@ -70,7 +70,9 @@ class _TrainMeta:
     Zp: int  # Z padded to a multiple of 8 (sublane granularity)
     E: int
     NZ: int
-    NZp: int  # N*Z padded to a multiple of 8
+    NZp: int  # N*Zp (per-VN Zp-padded row count)
+    Ep8: int  # E rounded up to a sublane multiple (weight-stream rows)
+    Np8: int  # N rounded up to a sublane multiple
     deg_classes: tuple[tuple[int, int], ...]  # (degree, n_checks), sorted order
     n_iterations: int
     clip_lo: float
@@ -88,6 +90,16 @@ class _TrainMeta:
     # permuted-edge-order topology tables ride the meta so the kernel can
     # close over them statically.
     routing: str = "matmul"
+    # weight-stream layout: "col" = [I, EZp, 1] blocks (fast broadcast
+    # multiply; every row lane-pads to 128 lanes, fine for small codes);
+    # "lane" = [I, Ep8, bt] per-edge values replicated across lanes (tiny
+    # windows, the BG1-scale capacity fix; slightly slower expansion)
+    w_layout: str = "col"
+    # matmul mode, non-grid messages: route f32 values exactly as three bf16
+    # MXU passes (_dot_split3) instead of one lossy bf16 cast — the bf16
+    # rounding otherwise cascades through min-sum iterations (round-2
+    # bigcode artifact: agree=0.785 vs exact at BG1 scale / 20 iterations)
+    exact_matmul: bool = False
     vn_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
     shift_of_edge: tuple[int, ...] = ()  # [E] in permuted edge order
     # False = decode-only fast path: just the final iteration's APP leaves the
@@ -102,18 +114,24 @@ def _round8(x: int) -> int:
 def _vmem_bytes(meta: "_TrainMeta", bt: int, operand_bytes: int) -> int:
     """Rough peak VMEM estimate for the kernels at batch tile ``bt``.
 
-    Counts the scratches, the double-buffered stream blocks, the lane-padded
-    [*, 1] weight blocks (a [1, EZp, 1] block occupies EZp x 128 lanes!), and
-    the routing operands; the backward pass is the peak when training."""
+    Counts the scratches, the double-buffered stream blocks, the weight
+    streams ([Ep8, bt] replicated-lane windows — the round-2 [EZp, 1] layout
+    lane-padded every message row to 128 lanes and was the BG1-scale
+    capacity wall), and the routing operands; the backward pass is the peak
+    when training."""
     EZpB, NZpB = meta.E * meta.Zp * 4, meta.NZp * 4
-    lane_pad = 512  # 128 lanes x 4B for [*, 1] blocks
+    lanes = max(bt, 128)
+    if meta.w_layout == "col":
+        we, wn = meta.E * meta.Zp * 512, meta.NZp * 512  # [X, 1] lane-pads
+    else:
+        we, wn = meta.Ep8 * lanes * 4 * 2, meta.Np8 * lanes * 4 * 2
     w = 0
     if meta.has_cn_w or meta.has_ucn:
-        w += 2 * meta.E * meta.Zp * lane_pad // 4
+        w += 2 * we  # in-window + grad-out window (double-buffered)
     if meta.has_ucn:
-        w += 2 * meta.E * meta.Zp * lane_pad // 4
+        w += 2 * we
     if meta.has_vn_w:
-        w += 2 * meta.NZp * lane_pad // 4
+        w += 2 * wn
     fwd = (EZpB + NZpB) * bt + 4 * NZpB * bt + 2 * NZpB * bt
     if meta.store_msgs:
         fwd += 2 * EZpB * bt
@@ -221,28 +239,115 @@ def _roll_z(seg, shift, meta: _TrainMeta):
     return jnp.concatenate([body, seg[meta.Z :]], axis=0)
 
 
-def _route_e_from_n(x, rt_ref, meta: _TrainMeta, routing_dtype, grad=False):
-    """VN-side [NZp, bt] -> edge-side [E*Zp, bt] (lift roll absorbed).
+def _split3_bf16(x):
+    """Exact 3-term bf16 decomposition of f32: hi + mid + lo == x bitwise.
 
-    Used forward for the VN totals and (as the transpose of the accumulate
-    direction) backward for the message-cotangent gather; ``grad`` marks
-    cotangent inputs, which are not grid-valued, so the int8 matmul trick is
-    bypassed for them."""
+    bf16 keeps 8 mantissa bits per term; three terms cover f32's 24.  Each
+    residual subtraction is exact in f32 (the rounded term agrees with x in
+    its leading bits), so routing x through a 0/1 one-hot operand as three
+    bf16 matmuls with f32 accumulation reproduces the f32 gather exactly —
+    the MXU-friendly alternative to precision=HIGHEST, which hangs this
+    toolchain's Mosaic compile helper (measured 2026-08-17)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_split3(op, x):
+    """One-hot operand @ f32 x, exactly, via three bf16 MXU passes."""
+    if hasattr(op, "at"):  # a ref: load once
+        op = op[:]
+    acc = None
+    for part in _split3_bf16(x):
+        term = jnp.dot(op, part, preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _edge_w_class(w_ref, e0, ne, Zp, bt):
+    """Per-edge weights [e0, e0+ne) from the replicated-lane stream, expanded
+    to the class's [ne*Zp, bt] message rows.
+
+    Weight streams are stored [I, Ep8, bt] with the per-edge value REPLICATED
+    across the bt lanes (edges in permuted class order).  The round-2
+    [I, EZp, 1] layout lane-padded every row to 128 lanes — a 23 MB window
+    per stream at BG1 scale, double-buffered: THE kernel capacity wall
+    (measured 2026-08-17); a lane-major [1, EZp] layout merely moves the same
+    bytes into transposed-column registers.  Replicating the E per-edge
+    values across lanes keeps the window at Ep8 x bt (~200 KB) and the
+    expansion to message rows is a cheap sublane broadcast over Zp."""
+    w = w_ref[0, e0 : e0 + ne, :]  # [ne, bt]
+    bt_w = w.shape[1]
+    w = jnp.broadcast_to(w[:, None, :], (ne, Zp, bt_w))
+    return w.reshape(ne * Zp, bt_w)
+
+
+def _vn_w_flat(w_ref, meta: "_TrainMeta"):
+    """Per-VN weights [1, Np8, bt] -> flat [NZp, bt] (rows n*Zp + z)."""
+    Np8, bt = w_ref.shape[1], w_ref.shape[2]
+    w = jnp.broadcast_to(w_ref[0][:, None, :], (Np8, meta.Zp, bt))
+    return w.reshape(Np8 * meta.Zp, bt)[: meta.NZp]
+
+
+def _w_rows(w_ref, meta: "_TrainMeta", base, nrows, bt):
+    """Per-edge weights for message rows [base, base+nrows), broadcastable
+    against [nrows, bt], in whichever stream layout rides the meta."""
+    if meta.w_layout == "col":
+        return w_ref[0, base : base + nrows]  # [nrows, 1]
+    ne, e0 = nrows // meta.Zp, base // meta.Zp
+    return _edge_w_class(w_ref, e0, ne, meta.Zp, bt)  # [nrows, bt]
+
+
+def _w_vn(w_ref, meta: "_TrainMeta"):
+    """Per-VN-copy weights broadcastable against [NZp, bt]."""
+    if meta.w_layout == "col":
+        return w_ref[0]  # [NZp, 1]
+    return _vn_w_flat(w_ref, meta)
+
+
+def _g_edge_w(g_w, meta: "_TrainMeta", ne):
+    """Weight-gradient reduction matching the stream layout: column sums for
+    "col" ([nrows, 1]); per-edge lane-partials for "lane" ([ne, bt] — the
+    pack broadcast's autodiff reduces the lanes)."""
+    if meta.w_layout == "col":
+        return jnp.sum(g_w, axis=1, keepdims=True)
+    return g_w.reshape(ne, meta.Zp, g_w.shape[1]).sum(axis=1)
+
+
+def _route_e_rows(x, rt_ref, meta: _TrainMeta, routing_dtype, e_lo, e_hi,
+                  grad=False):
+    """VN-side [NZp, bt] -> edge rows [e_lo, e_hi) of the routed view
+    ([ne*Zp, bt], lift roll absorbed).
+
+    The row-range form lets the backward kernel stream one degree class at a
+    time instead of materializing the full [E*Zp, bt] routed tensor; ``grad``
+    marks cotangent inputs, which are not grid-valued, so the int8 matmul
+    trick is bypassed for them."""
     if meta.routing == "roll":
         Zp = meta.Zp
         rows = []
-        for e in range(meta.E):
+        for e in range(e_lo, e_hi):
             n = meta.vn_of_edge[e]
             rows.append(_roll_z(x[n * Zp : (n + 1) * Zp], meta.shift_of_edge[e], meta))
         return jnp.concatenate(rows, axis=0)
+    rt = rt_ref[e_lo * meta.Zp : e_hi * meta.Zp, :]
     if meta.int8_routing and not grad:
         _, q_hi, q_scale = _QMS_TABLE[meta.qms_qbit]
         t_clip = 2.0 * q_hi
         x8 = jnp.round(jnp.clip(x, -t_clip, t_clip) * q_scale).astype(jnp.int8)
-        return jnp.dot(rt_ref[:], x8, preferred_element_type=jnp.int32).astype(
+        return jnp.dot(rt, x8, preferred_element_type=jnp.int32).astype(
             jnp.float32
         ) * (1.0 / q_scale)
-    return jnp.dot(rt_ref[:], x.astype(routing_dtype), preferred_element_type=jnp.float32)
+    if meta.exact_matmul:
+        return _dot_split3(rt, x)
+    return jnp.dot(rt, x.astype(routing_dtype), preferred_element_type=jnp.float32)
+
+
+def _route_e_from_n(x, rt_ref, meta: _TrainMeta, routing_dtype, grad=False):
+    """VN-side [NZp, bt] -> full edge-side [E*Zp, bt]."""
+    return _route_e_rows(x, rt_ref, meta, routing_dtype, 0, meta.E, grad=grad)
 
 
 def _route_n_from_e(msg, r_ref, meta: _TrainMeta, routing_dtype, quantized=False):
@@ -268,11 +373,19 @@ def _route_n_from_e(msg, r_ref, meta: _TrainMeta, routing_dtype, quantized=False
         return jnp.dot(r_ref[:], m8, preferred_element_type=jnp.int32).astype(
             jnp.float32
         ) * (1.0 / q_scale)
+    if meta.exact_matmul:
+        return _dot_split3(r_ref, msg)
     return jnp.dot(r_ref[:], msg.astype(routing_dtype), preferred_element_type=jnp.float32)
 
 
-def _cn_minsum_classes(v2c, meta: _TrainMeta):
-    """Forward extrinsic min-sum per degree class: [rows, bt] -> [rows, bt]."""
+def _cn_minsum_classes(v2c, meta: _TrainMeta, post=None):
+    """Forward extrinsic min-sum per degree class: [rows, bt] -> [rows, bt].
+
+    ``post(c2v_part, base, nrows)`` post-processes each class's c2v while it
+    is live (weighting/quantize/re-sign), so the whole per-class chain fuses
+    into one vreg pass and only the finished message rows are concatenated —
+    a flat second weighting pass would keep mag + expanded weights + parts
+    co-resident and spill at BG1 scale (measured +75 MB, 2026-08-17)."""
     bt = v2c.shape[1]
     outs = []
     for base, d, n in _class_ranges(meta):
@@ -297,14 +410,15 @@ def _cn_minsum_classes(v2c, meta: _TrainMeta):
         rows = []
         for j in range(d):
             rows.append(jnp.minimum(pre[j], suf[j]) * (total_sign * sgn[:, j]))
-        outs.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
+        part = jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt)
+        outs.append(post(part, base, d * n * meta.Zp) if post is not None else part)
     return jnp.concatenate(outs, axis=0)
 
 
 _SP_EPS = 1e-7  # atanh clamp (reference BoostedNeuralLDPCDecoder.py:406-408)
 
 
-def _cn_sumproduct_classes(v2c, meta: _TrainMeta):
+def _cn_sumproduct_classes(v2c, meta: _TrainMeta, post=None):
     """Forward extrinsic sum-product (tanh domain) per degree class."""
     bt = v2c.shape[1]
     outs = []
@@ -326,13 +440,14 @@ def _cn_sumproduct_classes(v2c, meta: _TrainMeta):
             ext = jnp.clip(pre[j] * suf[j], -1.0 + _SP_EPS, 1.0 - _SP_EPS)
             # Mosaic has no atanh lowering; 2*atanh(x) = log((1+x)/(1-x))
             rows.append(jnp.log((1.0 + ext) / (1.0 - ext)))
-        outs.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
+        part = jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt)
+        outs.append(post(part, base, d * n * meta.Zp) if post is not None else part)
     return jnp.concatenate(outs, axis=0)
 
 
-def _cn_minsum_fwd_bwd_classes(v2c, g_extrmin_fn, meta: _TrainMeta):
-    """Recompute the extrinsic min-sum AND backpropagate through it in one
-    pass, replicating the XLA two-min formulation's autodiff exactly:
+def _cn_minsum_fwd_bwd_one(v2c_cls, d, n, meta: _TrainMeta, g_extrmin_fn):
+    """Recompute ONE degree class's extrinsic min-sum AND backpropagate
+    through it, replicating the XLA two-min formulation's autodiff exactly:
 
       m1 = min |v2c|; am = first-occurrence argmin; m2 = min excluding slot am
       extr_e = m2 if slot_e == am else m1
@@ -340,76 +455,70 @@ def _cn_minsum_fwd_bwd_classes(v2c, g_extrmin_fn, meta: _TrainMeta):
       g_|v2c|_j = g_m1 * [|v2c|_j == m1]/#ties(m1) + g_m2 * [masked_j == m2]/#ties(m2)
       g_v2c = g_|v2c| * (v2c >= 0 ? 1 : -1)        (JAX abs convention)
 
-    ``g_extrmin_fn(c2v, extr_sgn, extr_min)`` receives the forward result and
-    returns (g_extrmin [rows, bt], outputs...) so weighting/quantization
-    gradients are computed where the forward values are live.  Returns
-    (g_v2c, outputs...).
-    """
-    bt = v2c.shape[1]
-    c2v_parts, aux = [], []
-    for base, d, n in _class_ranges(meta):
-        seg = v2c[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
-        mag = jnp.abs(seg)
-        sgn = jnp.where(seg >= 0, 1.0, -1.0)
+    ``g_extrmin_fn(c2v_cls)`` receives the class's forward result and returns
+    (g_extrmin [nrows, bt], g_cnw, g_ucnw).  Single-class granularity keeps
+    the mag/sgn/argmin temporaries' liveness at one class — the backward
+    kernel streams classes and never materializes a full-code tensor beyond
+    its VMEM scratches (the round-2 whole-code formulation spilled ~117 MB of
+    registers at BG1 scale, measured 2026-08-17)."""
+    bt = v2c_cls.shape[1]
+    nrows = d * n * meta.Zp
+    seg = v2c_cls.reshape(n, d, meta.Zp, bt)
+    mag = jnp.abs(seg)
+    sgn = jnp.where(seg >= 0, 1.0, -1.0)
 
-        pre = [None] * d
-        acc = jnp.full_like(mag[:, 0], _BIG)
-        for j in range(d):
-            pre[j] = acc
-            acc = jnp.minimum(acc, mag[:, j])
-        m1 = acc
-        suf = [None] * d
-        acc = jnp.full_like(mag[:, 0], _BIG)
-        for j in reversed(range(d)):
-            suf[j] = acc
-            acc = jnp.minimum(acc, mag[:, j])
-        total_sign = sgn[:, 0]
-        for j in range(1, d):
-            total_sign = total_sign * sgn[:, j]
+    pre = [None] * d
+    acc = jnp.full_like(mag[:, 0], _BIG)
+    for j in range(d):
+        pre[j] = acc
+        acc = jnp.minimum(acc, mag[:, j])
+    m1 = acc
+    suf = [None] * d
+    acc = jnp.full_like(mag[:, 0], _BIG)
+    for j in reversed(range(d)):
+        suf[j] = acc
+        acc = jnp.minimum(acc, mag[:, j])
+    total_sign = sgn[:, 0]
+    for j in range(1, d):
+        total_sign = total_sign * sgn[:, j]
 
-        # first-occurrence argmin one-hot + second min over the masked array
-        f = [ (mag[:, j] == m1) & (pre[j] > m1) for j in range(d) ]
-        masked = [jnp.where(f[j], _BIG, mag[:, j]) for j in range(d)]
-        m2 = masked[0]
-        for j in range(1, d):
-            m2 = jnp.minimum(m2, masked[j])
+    # first-occurrence argmin one-hot + second min over the masked array
+    f = [(mag[:, j] == m1) & (pre[j] > m1) for j in range(d)]
+    masked = [jnp.where(f[j], _BIG, mag[:, j]) for j in range(d)]
+    m2 = masked[0]
+    for j in range(1, d):
+        m2 = jnp.minimum(m2, masked[j])
 
-        extr_min = [jnp.where(f[j], m2, jnp.minimum(pre[j], suf[j])) for j in range(d)]
-        extr_sgn = [total_sign * sgn[:, j] for j in range(d)]
-        c2v_parts.append(
-            jnp.stack([extr_sgn[j] * extr_min[j] for j in range(d)], axis=1).reshape(
-                d * n * meta.Zp, bt
-            )
-        )
-        aux.append((base, d, n, mag, sgn, m1, m2, f))
-    c2v = jnp.concatenate(c2v_parts, axis=0)
+    extr_min = [jnp.where(f[j], m2, jnp.minimum(pre[j], suf[j])) for j in range(d)]
+    extr_sgn = [total_sign * sgn[:, j] for j in range(d)]
+    c2v_cls = jnp.stack(
+        [extr_sgn[j] * extr_min[j] for j in range(d)], axis=1
+    ).reshape(nrows, bt)
 
-    g_extrmin, *outputs = g_extrmin_fn(c2v)
+    g_extrmin, g_cnw, g_ucnw = g_extrmin_fn(c2v_cls)
 
-    g_parts = []
-    for base, d, n, mag, sgn, m1, m2, f in aux:
-        ge = g_extrmin[base : base + d * n * meta.Zp, :].reshape(n, d, meta.Zp, bt)
-        g_m1 = jnp.zeros_like(m1)
-        g_m2 = jnp.zeros_like(m1)
-        for j in range(d):
-            g_m1 = g_m1 + jnp.where(f[j], 0.0, ge[:, j])
-            g_m2 = g_m2 + jnp.where(f[j], ge[:, j], 0.0)
-        t1 = [mag[:, j] == m1 for j in range(d)]
-        c1 = t1[0].astype(jnp.float32)
-        for j in range(1, d):
-            c1 = c1 + t1[j]
-        t2 = [(jnp.where(f[j], _BIG, mag[:, j]) == m2) for j in range(d)]
-        c2 = t2[0].astype(jnp.float32)
-        for j in range(1, d):
-            c2 = c2 + t2[j]
-        g1 = g_m1 / c1
-        g2 = g_m2 / jnp.maximum(c2, 1.0)  # c2 == 0 only if deg < 2 (excluded)
-        rows = []
-        for j in range(d):
-            g_mag_j = jnp.where(t1[j], g1, 0.0) + jnp.where(t2[j], g2, 0.0)
-            rows.append(g_mag_j * jnp.where(mag[:, j] == 0.0, 1.0, sgn[:, j]))
-        g_parts.append(jnp.stack(rows, axis=1).reshape(d * n * meta.Zp, bt))
-    return (jnp.concatenate(g_parts, axis=0), *outputs)
+    ge = g_extrmin.reshape(n, d, meta.Zp, bt)
+    g_m1 = jnp.zeros_like(m1)
+    g_m2 = jnp.zeros_like(m1)
+    for j in range(d):
+        g_m1 = g_m1 + jnp.where(f[j], 0.0, ge[:, j])
+        g_m2 = g_m2 + jnp.where(f[j], ge[:, j], 0.0)
+    t1 = [mag[:, j] == m1 for j in range(d)]
+    c1 = t1[0].astype(jnp.float32)
+    for j in range(1, d):
+        c1 = c1 + t1[j]
+    t2 = [(jnp.where(f[j], _BIG, mag[:, j]) == m2) for j in range(d)]
+    c2 = t2[0].astype(jnp.float32)
+    for j in range(1, d):
+        c2 = c2 + t2[j]
+    g1 = g_m1 / c1
+    g2 = g_m2 / jnp.maximum(c2, 1.0)  # c2 == 0 only if deg < 2 (excluded)
+    rows = []
+    for j in range(d):
+        g_mag_j = jnp.where(t1[j], g1, 0.0) + jnp.where(t2[j], g2, 0.0)
+        rows.append(g_mag_j * jnp.where(mag[:, j] == 0.0, 1.0, sgn[:, j]))
+    g_v2c = jnp.stack(rows, axis=1).reshape(nrows, bt)
+    return g_v2c, g_cnw, g_ucnw
 
 
 def _ucn_mask_classes(sign_e, meta: _TrainMeta):
@@ -456,10 +565,13 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
         store_ref[0] = msg_scr[:]  # message state ENTERING iteration i
 
     chan = chan_ref[:]
-    chan_out = chanq_ref[:]
+    # MS has no channel quantizer: chanq IS chan, and the separate stream is
+    # dropped (a dummy ref rides in its place) — at BG1 scale the extra
+    # [NZp, bt] window was the difference between fitting VMEM and not
+    chan_out = chanq_ref[:] if meta.qms_qbit is not None else chan
 
     if meta.has_vn_w:
-        xa = chan * vnw_ref[0]
+        xa = chan * _w_vn(vnw_ref, meta)
         xa_q = _quantize(xa, meta.qms_qbit) if meta.qms_qbit is not None else xa
     else:
         xa_q = chan_out  # = Q(chan) under QMS, chan otherwise
@@ -471,19 +583,28 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
 
     routed = _route_e_from_n(xa_q + sums_scr[:], rt_ref, meta, routing_dtype)
     v2c = _clip_or_quant(routed - msg_scr[:], meta)
-    if meta.sum_product:
-        c2v = _cn_sumproduct_classes(v2c, meta)
-    else:
-        c2v = _cn_minsum_classes(v2c, meta)
 
-    w_mag = jnp.abs(c2v)
-    if meta.has_ucn:
-        w_mag = w_mag * cnw_ref[0] * (1.0 - ucn_mask) + w_mag * ucnw_ref[0] * ucn_mask
-    elif meta.has_cn_w:
-        w_mag = w_mag * cnw_ref[0]
-    w_mag = jnp.maximum(w_mag, 0.0)
-    w_mag = _clip_or_quant(w_mag, meta)
-    new_msg = w_mag * jnp.sign(c2v)
+    def _post(c2v_part, base, nrows):
+        # weighting + ReLU + clip/quantize + re-sign (reference :431-512),
+        # fused per class while the c2v rows are live
+        bt_k = c2v_part.shape[1]
+        w_mag = jnp.abs(c2v_part)
+        if meta.has_ucn:
+            u = ucn_mask[base : base + nrows]
+            w_mag = w_mag * (
+                _w_rows(cnw_ref, meta, base, nrows, bt_k) * (1.0 - u)
+                + _w_rows(ucnw_ref, meta, base, nrows, bt_k) * u
+            )
+        elif meta.has_cn_w:
+            w_mag = w_mag * _w_rows(cnw_ref, meta, base, nrows, bt_k)
+        w_mag = jnp.maximum(w_mag, 0.0)
+        w_mag = _clip_or_quant(w_mag, meta)
+        return w_mag * jnp.sign(c2v_part)
+
+    if meta.sum_product:
+        new_msg = _cn_sumproduct_classes(v2c, meta, post=_post)
+    else:
+        new_msg = _cn_minsum_classes(v2c, meta, post=_post)
 
     msg_scr[:] = new_msg
     sums_scr[:] = _route_n_from_e(new_msg, r_ref, meta, routing_dtype, quantized=True)
@@ -524,12 +645,17 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         out_specs.append(
             pl.BlockSpec((1, EZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
         )
+    chanq_spec = (
+        pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        if meta.qms_qbit is not None
+        else pl.BlockSpec(chanq.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
+    )
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
+            chanq_spec,
             pl.BlockSpec(rt.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(r.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
             iter_block((1,) + cnw.shape[1:]),
@@ -542,7 +668,7 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
             pltpu.VMEM((EZp, bt), jnp.float32),
             pltpu.VMEM((NZp, bt), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, rt, r, cnw, vnw, ucnw)
     return res if meta.store_msgs else (res, None)
@@ -567,8 +693,12 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
         gchan_ref[:] = jnp.zeros_like(gchan_ref)
         gchanq_ref[:] = jnp.zeros_like(gchanq_ref)
 
+    # without a channel quantizer chanq IS chan — its gradient contributions
+    # belong to gchan and gchanq stays a dummy
+    gq_ref = gchanq_ref if meta.qms_qbit is not None else gchan_ref
+
     chan = chan_ref[:]
-    chan_out = chanq_ref[:]
+    chan_out = chanq_ref[:] if meta.qms_qbit is not None else chan
     msg_prev = store_ref[0]  # message state entering iteration i
     g_out = gout_ref[0]  # cotangent of the PRE-clip APP of iteration i
 
@@ -576,7 +706,8 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     sums_prev = _route_n_from_e(msg_prev, r_ref, meta, routing_dtype, quantized=True)
 
     if meta.has_vn_w:
-        xa = chan * vnw_ref[0]
+        vnw_flat = _w_vn(vnw_ref, meta)
+        xa = chan * vnw_flat
         if meta.qms_qbit is not None:
             xa_q = _quantize(xa, meta.qms_qbit)
             lo_q, hi_q, _ = _QMS_TABLE[meta.qms_qbit]
@@ -595,10 +726,15 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
         scn_mask = 1.0 - ucn_mask
 
     vn_total = xa_q + sums_prev
-    routed = _route_e_from_n(vn_total, rt_ref, meta, routing_dtype)
-    v2c_pre = routed - msg_prev
     lo_m, hi_m = _msg_range(meta)
-    mask_v2c = _clip_grad_mask(v2c_pre, lo_m, hi_m)
+
+    # ---- adjoint of the post-CN chain, streamed one degree class at a time
+    # (a whole-code formulation keeps v2c/masks/cotangents for every class
+    # live simultaneously and spilled ~117 MB of registers at BG1 scale) ----
+    # out_pre_i = chan_out + sums_i  ->  g_sums_i = g_out (+ carry)
+    g_sums_total = gsums_scr[:] + g_out
+    bt_k = g_out.shape[1]
+
     if meta.int8_routing and meta.routing == "matmul":
         # int8 routing pre-clips the VN total to +-2*q_hi (value-exact for the
         # forward: the quantizer saturates anyway), but the XLA gradient
@@ -606,75 +742,141 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
         # exactly on the quantizer boundary here (mask 0.5) where the true
         # value is strictly beyond it (mask 0).  Route a -1/0/+1 saturation
         # indicator (exact in int8) and zero those boundary masks.
-        _, q_hi, _ = _QMS_TABLE[meta.qms_qbit]
-        t_clip = 2.0 * q_hi
-        sat_n = (jnp.where(vn_total > t_clip, 1.0, 0.0)
-                 - jnp.where(vn_total < -t_clip, 1.0, 0.0)).astype(jnp.int8)
-        sat = jnp.dot(rt_ref[:], sat_n, preferred_element_type=jnp.int32).astype(
-            jnp.float32
+        _, q_hi8, _ = _QMS_TABLE[meta.qms_qbit]
+        t_clip8 = 2.0 * q_hi8
+        sat_n = (jnp.where(vn_total > t_clip8, 1.0, 0.0)
+                 - jnp.where(vn_total < -t_clip8, 1.0, 0.0)).astype(jnp.int8)
+
+    acc = [None] * meta.N  # roll mode: per-VN g_T accumulators
+    g_T_mm = None  # matmul mode: full [NZp, bt] accumulator
+    g_cnw_parts, g_ucnw_parts = [], []
+
+    for base, d, n in _class_ranges(meta):
+        nrows = d * n * meta.Zp
+        ne, e0 = d * n, base // meta.Zp
+
+        # recompute this class's forward intermediates
+        routed_cls = _route_e_rows(vn_total, rt_ref, meta, routing_dtype, e0, e0 + ne)
+        msg_prev_cls = store_ref[0, base : base + nrows, :]
+        v2c_pre = routed_cls - msg_prev_cls
+        mask_cls = _clip_grad_mask(v2c_pre, lo_m, hi_m)
+        if meta.int8_routing and meta.routing == "matmul":
+            rt8 = rt_ref[base : base + nrows, :]
+            sat = jnp.dot(rt8, sat_n, preferred_element_type=jnp.int32).astype(
+                jnp.float32
+            )
+            at_hi = (sat > 0) & (v2c_pre == hi_m)
+            at_lo = (sat < 0) & (v2c_pre == lo_m)
+            mask_cls = jnp.where(at_hi | at_lo, 0.0, mask_cls)
+        v2c_cls = _clip_or_quant(v2c_pre, meta)
+
+        # message cotangent entering this iteration, class rows only:
+        # sums_i = R @ msg_i  ->  g_msg_i += R^T @ g_sums_i  (+ carry)
+        g_msg_cls = gmsg_scr[base : base + nrows, :] + _route_e_rows(
+            g_sums_total, rt_ref, meta, routing_dtype, e0, e0 + ne, grad=True
         )
-        at_hi = (sat > 0) & (v2c_pre == hi_m)
-        at_lo = (sat < 0) & (v2c_pre == lo_m)
-        mask_v2c = jnp.where(at_hi | at_lo, 0.0, mask_v2c)
-    v2c = _clip_or_quant(v2c_pre, meta)
 
-    # ---- adjoint of the post-CN chain, fused with the min-sum recompute ----
-    # out_pre_i = chan_out + sums_i  ->  g_sums_i = g_out (+ carry)
-    g_sums_total = gsums_scr[:] + g_out
-    # sums_i = R @ msg_i  ->  g_msg_i += R^T @ g_sums_i  (+ carry)
-    g_msg_total = gmsg_scr[:] + _route_e_from_n(
-        g_sums_total, rt_ref, meta, routing_dtype, grad=True
-    )
+        def g_extrmin_fn(c2v, base=base, nrows=nrows, ne=ne, e0=e0,
+                         g_msg_cls=g_msg_cls):
+            mag = jnp.abs(c2v)  # == extrinsic min, >= 0
+            if meta.has_ucn:
+                w_eff = (
+                    _w_rows(cnw_ref, meta, base, nrows, bt_k)
+                    * scn_mask[base : base + nrows]
+                    + _w_rows(ucnw_ref, meta, base, nrows, bt_k)
+                    * ucn_mask[base : base + nrows]
+                )
+            elif meta.has_cn_w:
+                w_eff = _w_rows(cnw_ref, meta, base, nrows, bt_k)
+            else:
+                w_eff = jnp.ones_like(mag)
+            wm_pre = mag * w_eff
+            wm_relu = jnp.maximum(wm_pre, 0.0)
+            # msg_i = Q(wm_relu) * sign(c2v); sign() has no gradient
+            s_nz = jnp.sign(c2v)
+            g_wm_q = g_msg_cls * s_nz
+            g_wm_relu = g_wm_q * _clip_grad_mask(wm_relu, lo_m, hi_m)
+            g_wm_pre = g_wm_relu * _relu_grad_mask(wm_pre)
+            g_w = g_wm_pre * mag
+            if meta.has_ucn:
+                g_cnw = _g_edge_w(g_w * scn_mask[base : base + nrows], meta, ne)
+                g_ucnw = _g_edge_w(g_w * ucn_mask[base : base + nrows], meta, ne)
+            elif meta.has_cn_w:
+                g_cnw = _g_edge_w(g_w, meta, ne)
+                g_ucnw = None
+            else:
+                g_cnw = None
+                g_ucnw = None
+            g_extrmin = g_wm_pre * w_eff  # |c2v| grad cancels the sign exactly
+            return g_extrmin, g_cnw, g_ucnw
 
-    def g_extrmin_fn(c2v):
-        mag = jnp.abs(c2v)  # == extrinsic min, >= 0
-        if meta.has_ucn:
-            w_eff = cnw_ref[0] * scn_mask + ucnw_ref[0] * ucn_mask
-        elif meta.has_cn_w:
-            w_eff = jnp.broadcast_to(cnw_ref[0], mag.shape)
+        g_v2c_cls, g_cnw_p, g_ucnw_p = _cn_minsum_fwd_bwd_one(
+            v2c_cls, d, n, meta, g_extrmin_fn
+        )
+        g_cnw_parts.append(g_cnw_p)
+        g_ucnw_parts.append(g_ucnw_p)
+
+        g_v2c_pre = g_v2c_cls * mask_cls
+        # v2c_pre = routed - msg_prev: message-carry cotangent for step i-1
+        gmsg_scr[base : base + nrows, :] = -g_v2c_pre
+        # routed = R^T @ T: accumulate this class's contribution to g_T
+        if meta.routing == "roll":
+            for k in range(ne):
+                e = e0 + k
+                nn = meta.vn_of_edge[e]
+                c = _roll_z(
+                    g_v2c_pre[k * meta.Zp : (k + 1) * meta.Zp],
+                    -meta.shift_of_edge[e], meta,
+                )
+                acc[nn] = c if acc[nn] is None else acc[nn] + c
         else:
-            w_eff = jnp.ones_like(mag)
-        wm_pre = mag * w_eff
-        wm_relu = jnp.maximum(wm_pre, 0.0)
-        # msg_i = Q(wm_relu) * sign(c2v); sign() has no gradient, sign(0) = 0
-        s_nz = jnp.sign(c2v)
-        g_wm_q = g_msg_total * s_nz
-        g_wm_relu = g_wm_q * _clip_grad_mask(wm_relu, lo_m, hi_m)
-        g_wm_pre = g_wm_relu * _relu_grad_mask(wm_pre)
-        g_w = g_wm_pre * mag
-        if meta.has_ucn:
-            g_cnw = jnp.sum(g_w * scn_mask, axis=1, keepdims=True)
-            g_ucnw = jnp.sum(g_w * ucn_mask, axis=1, keepdims=True)
-        elif meta.has_cn_w:
-            g_cnw = jnp.sum(g_w, axis=1, keepdims=True)
-            g_ucnw = None
-        else:
-            g_cnw = None
-            g_ucnw = None
-        g_extrmin = g_wm_pre * w_eff  # |c2v| gradient cancels the sign exactly
-        return g_extrmin, g_cnw, g_ucnw
+            r_cls = r_ref[:, base : base + nrows]
+            if meta.exact_matmul:
+                contrib = _dot_split3(r_cls, g_v2c_pre)
+            else:
+                contrib = jnp.dot(
+                    r_cls, g_v2c_pre.astype(routing_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            g_T_mm = contrib if g_T_mm is None else g_T_mm + contrib
 
-    g_v2c, g_cnw_i, g_ucnw_i = _cn_minsum_fwd_bwd_classes(v2c, g_extrmin_fn, meta)
-
-    g_v2c_pre = g_v2c * mask_v2c
-    # v2c_pre = routed - msg_prev
-    g_msg_carry = -g_v2c_pre
-    # routed = R^T @ T, T = xa_q + sums_prev
-    g_T = _route_n_from_e(g_v2c_pre, r_ref, meta, routing_dtype)
+    if meta.routing == "roll":
+        zero = jnp.zeros((meta.Zp, bt_k), jnp.float32)
+        g_T = jnp.concatenate([a if a is not None else zero for a in acc], axis=0)
+    else:
+        g_T = g_T_mm
     gsums_scr[:] = g_T  # cotangent of sums_{i-1}, consumed by the next step
-    gmsg_scr[:] = g_msg_carry
+
+    g_cnw_i = None if g_cnw_parts[0] is None else jnp.concatenate(g_cnw_parts, axis=0)
+    g_ucnw_i = None if g_ucnw_parts[0] is None else jnp.concatenate(g_ucnw_parts, axis=0)
 
     # channel-side gradients
-    gchanq_ref[:] += g_out  # out_pre_i = chanq + sums_i
+    gq_ref[:] += g_out  # out_pre_i = chanq + sums_i
+
+    def _pad_edge_g(g):
+        if meta.w_layout == "col":
+            return g  # already [EZp, 1]
+        return jnp.pad(g, ((0, meta.Ep8 - meta.E), (0, 0)))
+
     if meta.has_vn_w:
         g_xa = g_T * mask_xa
-        gvnw_ref[0, 0] = jnp.sum(g_xa * chan, axis=1, keepdims=True)
-        gchan_ref[:] += g_xa * vnw_ref[0]
+        if meta.w_layout == "col":
+            gvnw_ref[0, 0] = jnp.sum(g_xa * chan, axis=1, keepdims=True)
+        else:
+            g_vn = (g_xa * chan).reshape(meta.N, meta.Zp, g_xa.shape[1]).sum(axis=1)
+            gvnw_ref[0, 0] = jnp.pad(g_vn, ((0, meta.Np8 - meta.N), (0, 0)))
+        gchan_ref[:] += g_xa * vnw_flat
     else:
-        gchanq_ref[:] += g_T  # xa_q IS chanq
+        gq_ref[:] += g_T  # xa_q IS chanq
         gvnw_ref[0, 0] = jnp.zeros_like(gvnw_ref[0, 0])
-    gcnw_ref[0, 0] = g_cnw_i if g_cnw_i is not None else jnp.zeros_like(gcnw_ref[0, 0])
-    gucnw_ref[0, 0] = g_ucnw_i if g_ucnw_i is not None else jnp.zeros_like(gucnw_ref[0, 0])
+    gcnw_ref[0, 0] = (
+        _pad_edge_g(g_cnw_i) if g_cnw_i is not None
+        else jnp.zeros_like(gcnw_ref[0, 0])
+    )
+    gucnw_ref[0, 0] = (
+        _pad_edge_g(g_ucnw_i) if g_ucnw_i is not None
+        else jnp.zeros_like(gucnw_ref[0, 0])
+    )
 
 
 @functools.partial(
@@ -689,12 +891,17 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
     grid = (nb, I)
     kernel = functools.partial(_bwd_kernel, meta, routing_dtype)
     rev = lambda j: I - 1 - j  # noqa: E731
+    chanq_spec = (
+        pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM)
+        if meta.qms_qbit is not None
+        else pl.BlockSpec(chanq.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM)
+    )
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            chanq_spec,
             pl.BlockSpec(rt.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(r.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + cnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
@@ -714,20 +921,26 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
             pl.BlockSpec((1, 1) + vnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1) + ucnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM)
+                if meta.qms_qbit is not None
+                else pl.BlockSpec(chanq.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM)
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, I) + cnw.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((nb, I) + vnw.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((nb, I) + ucnw.shape[1:], jnp.float32),
             jax.ShapeDtypeStruct((NZp, B), jnp.float32),
-            jax.ShapeDtypeStruct((NZp, B), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (NZp, B) if meta.qms_qbit is not None else chanq.shape, jnp.float32
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((EZp, bt), jnp.float32),
             pltpu.VMEM((NZp, bt), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs)
     g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq = res
@@ -803,13 +1016,24 @@ class FusedTrainDecoder:
         self.edge_perm = edge_perm  # host numpy: closed over by outer jits
         Z, Zp = graph.Z, _round8(graph.Z)
         NZ, NZp = graph.N * Z, graph.N * Zp
+        exact_matmul = routing == "matmul" and not int8_routing
+        if exact_matmul:
+            routing_dtype = jnp.bfloat16  # split-3 operand storage (0/1 exact)
+        # weight-stream layout: the column layout's [EZp, 1] windows lane-pad
+        # every row to 128 lanes; beyond ~8 MB of windows switch to the
+        # replicated-lane layout (tiny windows, ~25% slower weighting)
+        n_streams = int(has_cn_w or has_ucn) + int(has_ucn)
+        col_bytes = 2 * 512 * (n_streams * graph.E * Zp + int(has_vn_w) * graph.N * Zp)
+        w_layout = "col" if col_bytes <= 8 * 1024 * 1024 else "lane"
         self.meta = _TrainMeta(
             M=graph.M, N=graph.N, Z=Z, Zp=Zp, E=graph.E, NZ=NZ, NZp=NZp,
+            Ep8=_round8(graph.E), Np8=_round8(graph.N),
             deg_classes=deg_classes, n_iterations=n_iterations,
             clip_lo=float(clip[0]), clip_hi=float(clip[1]),
             qms_qbit=qms_qbit, has_cn_w=has_cn_w, has_vn_w=has_vn_w,
             has_ucn=has_ucn, int8_routing=int8_routing, store_msgs=store_msgs,
-            sum_product=sum_product, routing=routing,
+            sum_product=sum_product, routing=routing, exact_matmul=exact_matmul,
+            w_layout=w_layout,
             vn_of_edge=tuple(int(graph.vn_of_edge[e]) for e in edge_perm),
             shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
             stream_outputs=stream_outputs,
@@ -819,13 +1043,16 @@ class FusedTrainDecoder:
             osize = 1 if int8_routing else jnp.dtype(routing_dtype).itemsize
             operand_bytes = 2 * (graph.N * Zp) * (graph.E * Zp) * osize
         # the estimate excludes Mosaic's in-kernel liveness (per-class CN
-        # temporaries), which is much heavier in the backward kernel — hence
-        # the tighter training budget (measured: Z=48 BG1-scale training
-        # wanted ~2.1x the estimate)
-        limit = (55 if store_msgs else 100) * 1024 * 1024
+        # temporaries and scheduling-extended lifetimes), which is much
+        # heavier in the backward kernel — hence the tighter training budget.
+        # Round-3 hardware calibration (synthetic BG1, bt=128): estimated
+        # 59 MB (Z=64, E*Zp=23.4k) compiles and runs; estimated 87 MB (Z=96)
+        # blows physical VMEM with ~100 MB of register spills — the backward
+        # register allocator does not free per-class temporaries.
+        limit = (70 if store_msgs else 100) * 1024 * 1024
         if bt is None:
             bt = 256 if graph.E * Zp > 2500 else 512
-            while bt > 64 and _vmem_bytes(self.meta, bt, operand_bytes) > limit:
+            while bt > 128 and _vmem_bytes(self.meta, bt, operand_bytes) > limit:
                 bt //= 2
         if _vmem_bytes(self.meta, bt, operand_bytes) > limit:
             raise ValueError(
@@ -875,17 +1102,23 @@ class FusedTrainDecoder:
         )
 
     # -- kernel-layout packing (differentiable, outside the custom VJP) -----
-    def _pack_edge_w(self, w):  # [I, E] -> [I, EZp, 1]
+    def _pack_edge_w(self, w):  # [I, E] -> col [I, EZp, 1] | lane [I, Ep8, bt]
         m = self.meta
         w = w[:, self.edge_perm]
-        w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.E, m.Zp))
-        return w.reshape(m.n_iterations, m.E * m.Zp, 1)
+        if m.w_layout == "col":
+            w = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.E, m.Zp))
+            return w.reshape(m.n_iterations, m.E * m.Zp, 1)
+        w = jnp.pad(w, ((0, 0), (0, m.Ep8 - m.E)))
+        return jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.Ep8, self.bt))
 
-    def _pack_vn_w(self, w):  # [I, N] -> [I, NZp, 1] (per-VN Zp-padded layout)
+    def _pack_vn_w(self, w):  # [I, N] -> col [I, NZp, 1] | lane [I, Np8, bt]
         m = self.meta
-        w3 = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.N, m.Z))
-        w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, m.Zp - m.Z)))
-        return w3.reshape(m.n_iterations, m.NZp)[:, :, None]
+        if m.w_layout == "col":
+            w3 = jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.N, m.Z))
+            w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, m.Zp - m.Z)))
+            return w3.reshape(m.n_iterations, m.NZp)[:, :, None]
+        w = jnp.pad(w, ((0, 0), (0, m.Np8 - m.N)))
+        return jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.Np8, self.bt))
 
     def _primal(self, cnw, vnw, ucnw, chan, chanq):
         outs, _ = _fwd_run(
@@ -925,13 +1158,18 @@ class FusedTrainDecoder:
         x = chan_llr.reshape(B, m.N, m.Z).astype(jnp.float32)
         x = jnp.pad(x, ((0, (-B) % self.bt), (0, 0), (0, m.Zp - m.Z)))
         chan = x.reshape(x.shape[0], m.NZp).T  # [NZp, Bp], per-VN Zp layout
+        # MS: chanq IS chan — a tiny placeholder rides instead of a second
+        # [NZp, B] stream (at BG1 scale that window decided VMEM fit); the
+        # channel-quantizer STE stays differentiated outside the kernel
         chanq = (
-            qms_quantize_ste(chan, m.qms_qbit) if m.qms_qbit is not None else chan
+            qms_quantize_ste(chan, m.qms_qbit)
+            if m.qms_qbit is not None
+            else jnp.zeros((8, 128), jnp.float32)
         )
-        # absent weight streams ride as tiny [I, 8, 1] placeholders — a full
-        # [1, EZp, 1] block lane-pads to EZp x 128 x 4 bytes in VMEM, which
-        # dominates the budget on large codes
-        dummy = jnp.ones((m.n_iterations, 8, 1), jnp.float32)
+        # absent weight streams ride as small all-ones placeholders
+        dummy = jnp.ones(
+            (m.n_iterations, 8, 1 if m.w_layout == "col" else 128), jnp.float32
+        )
         ones_e = jnp.ones((m.n_iterations, m.E), jnp.float32)
         ones_n = jnp.ones((m.n_iterations, m.N), jnp.float32)
         cnw = (

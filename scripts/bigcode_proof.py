@@ -1,4 +1,4 @@
-"""Large-code compile-time + correctness proof (VERDICT item 4):
+"""Large-code compile-time + correctness proof (round-2 VERDICT items 3/4):
 synthetic BG1-scale protograph (46x68, ~316 edges) at Z=16 (matmul + roll)
 and Z=384 (roll only — the one-hot operand would be ~6GB).
 Ground truth: the edge-gather XLA path (O(E*Z) memory).
@@ -67,41 +67,67 @@ for Z, modes, B in [(16, ("matmul", "roll"), 512), (128, ("roll",), 256)]:
                         "maxdiff": maxd, "words_per_s": round(wps)}
         print(key, json.dumps(results[key]), flush=True)
 
-# training-step compile check (store_msgs, backward kernel): Z=128 exceeds
-# the documented VMEM-residency budget for training (decode-only fits); the
-# capacity check must raise cleanly, and Z=48 must train.
-g = TannerGraph.from_basegraph(bg, 128)
+# training capacity frontier (round 3: the replicated-lane weight streams,
+# chanq elision and class-streamed backward roughly double the trainable
+# scale — Z=64 / E*Zp=23.4k now trains fused at a full 128-lane tile; Z>=96
+# must still raise cleanly and fall back to the XLA engine).
+g = TannerGraph.from_basegraph(bg, 96)
 dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
     n_iterations=5, decoder_type=DecoderType.MS,
     sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
 try:
     FusedTrainDecoder.from_decoder(dec, routing="roll")
-    results["Z128_train_capacity"] = {"raised": False}
+    results["Z96_train_capacity"] = {"raised": False}
 except ValueError as e:
-    results["Z128_train_capacity"] = {"raised": True, "msg": str(e)[:120]}
-print("Z128_train_capacity", json.dumps(results["Z128_train_capacity"]), flush=True)
+    results["Z96_train_capacity"] = {"raised": True, "msg": str(e)[:120]}
+print("Z96_train_capacity", json.dumps(results["Z96_train_capacity"]), flush=True)
 
-g = TannerGraph.from_basegraph(bg, 48)
-dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
-    n_iterations=5, decoder_type=DecoderType.MS,
-    sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
-ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
-p = dec.init_params()
-cw, uw, vw = dec._expanded_weights(p)
-x = jnp.asarray(np.random.default_rng(2).normal(size=(128, g.N, 48)).astype(np.float32) * 3)
+for Zt in (48, 64):
+    g = TannerGraph.from_basegraph(bg, Zt)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=5, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
+    p = dec.init_params()
+    cw, uw, vw = dec._expanded_weights(p)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(128, g.N, Zt)).astype(np.float32) * 3)
 
+    def loss_fused(c):
+        return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, x)[-1]))
 
-def loss(c):
-    return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, x)[-1]))
+    def loss_xla(pp):
+        return jnp.mean(jax.nn.sigmoid(dec.apply(pp, x)[-1]))
 
+    t0 = time.time()
+    gf = jax.jit(jax.grad(loss_fused))
+    gr = jax.block_until_ready(gf(cw))
+    compile_s = round(time.time() - t0, 1)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        gg = gf(cw)
+    jax.block_until_ready(gg)
+    fused_wps = 128 * reps / (time.perf_counter() - t0)
 
-t0 = time.time()
-gr = jax.block_until_ready(jax.grad(loss)(cw))
-results["Z48_train_grad"] = {"compile_s": round(time.time() - t0, 1),
-                              "grad_finite": bool(np.isfinite(np.asarray(gr)).all()),
-                              "grad_norm": float(jnp.linalg.norm(gr))}
-print("Z48_train_grad", json.dumps(results["Z48_train_grad"]), flush=True)
+    gx = jax.jit(jax.grad(loss_xla))
+    jax.block_until_ready(gx(p))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        gg = gx(p)
+    jax.block_until_ready(gg)
+    xla_wps = 128 * reps / (time.perf_counter() - t0)
 
-with open("benchmarks/bigcode_r2.json", "w") as f:
+    results[f"Z{Zt}_train"] = {
+        "compile_s": compile_s,
+        "grad_finite": bool(np.isfinite(np.asarray(gr)).all()),
+        "grad_norm": float(jnp.linalg.norm(gr)),
+        "fused_words_per_s": round(fused_wps),
+        "xla_words_per_s": round(xla_wps),
+        "speedup_vs_xla": round(fused_wps / xla_wps, 2),
+    }
+    print(f"Z{Zt}_train", json.dumps(results[f"Z{Zt}_train"]), flush=True)
+
+import os
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "bigcode_r3.json"), "w") as f:
     json.dump(results, f, indent=1)
 print("DONE", flush=True)
