@@ -751,14 +751,29 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
     g_T_mm = None  # matmul mode: full [NZp, bt] accumulator
     g_cnw_parts, g_ucnw_parts = [], []
 
+    # small codes (column weight layout): whole-array recompute is faster
+    # (the per-class ref reloads and strictly sequenced scratch writes cost
+    # ~17% on wman training); large codes stream per class to keep register
+    # liveness at one class (whole-array spilled ~100 MB at BG1 scale)
+    stream_bwd = meta.w_layout == "lane"
+    if not stream_bwd:
+        routed_full = _route_e_from_n(vn_total, rt_ref, meta, routing_dtype)
+        v2c_pre_full = routed_full - msg_prev
+        g_msg_full = gmsg_scr[:] + _route_e_from_n(
+            g_sums_total, rt_ref, meta, routing_dtype, grad=True
+        )
+
     for base, d, n in _class_ranges(meta):
         nrows = d * n * meta.Zp
         ne, e0 = d * n, base // meta.Zp
 
         # recompute this class's forward intermediates
-        routed_cls = _route_e_rows(vn_total, rt_ref, meta, routing_dtype, e0, e0 + ne)
-        msg_prev_cls = store_ref[0, base : base + nrows, :]
-        v2c_pre = routed_cls - msg_prev_cls
+        if stream_bwd:
+            routed_cls = _route_e_rows(vn_total, rt_ref, meta, routing_dtype, e0, e0 + ne)
+            msg_prev_cls = store_ref[0, base : base + nrows, :]
+            v2c_pre = routed_cls - msg_prev_cls
+        else:
+            v2c_pre = v2c_pre_full[base : base + nrows]
         mask_cls = _clip_grad_mask(v2c_pre, lo_m, hi_m)
         if meta.int8_routing and meta.routing == "matmul":
             rt8 = rt_ref[base : base + nrows, :]
@@ -772,9 +787,12 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
 
         # message cotangent entering this iteration, class rows only:
         # sums_i = R @ msg_i  ->  g_msg_i += R^T @ g_sums_i  (+ carry)
-        g_msg_cls = gmsg_scr[base : base + nrows, :] + _route_e_rows(
-            g_sums_total, rt_ref, meta, routing_dtype, e0, e0 + ne, grad=True
-        )
+        if stream_bwd:
+            g_msg_cls = gmsg_scr[base : base + nrows, :] + _route_e_rows(
+                g_sums_total, rt_ref, meta, routing_dtype, e0, e0 + ne, grad=True
+            )
+        else:
+            g_msg_cls = g_msg_full[base : base + nrows]
 
         def g_extrmin_fn(c2v, base=base, nrows=nrows, ne=ne, e0=e0,
                          g_msg_cls=g_msg_cls):
@@ -1051,7 +1069,14 @@ class FusedTrainDecoder:
         # register allocator does not free per-class temporaries.
         limit = (70 if store_msgs else 100) * 1024 * 1024
         if bt is None:
-            bt = 256 if graph.E * Zp > 2500 else 512
+            # round-3 hardware sweep (measure_r3): small tiles pipeline the
+            # grid better — decode peaks at bt=128 (wman 14.2M vs 11.8M at
+            # the round-2 default 512) / 256 for larger codes; training at
+            # bt=256 on both shipped codes
+            if store_msgs:
+                bt = 256
+            else:
+                bt = 128 if graph.E * Zp <= 2500 else 256
             while bt > 128 and _vmem_bytes(self.meta, bt, operand_bytes) > limit:
                 bt //= 2
         if _vmem_bytes(self.meta, bt, operand_bytes) > limit:
