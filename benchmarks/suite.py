@@ -9,10 +9,11 @@ Run: python benchmarks/suite.py [--quick] [--out results.json]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
