@@ -174,6 +174,30 @@ class MonteCarloCampaign:
             step = jax.jit(step)
         return lambda key, sigma: step(self.params, key, sigma)
 
+    def run_snr_point(self, s: int, batches: int = 64) -> None:
+        """Advance one SNR point by ``batches`` batches.
+
+        Building block for callers that interleave progress reporting,
+        wall-clock budgets, or partial-result flushes with the sweep
+        (``run`` is the whole-sweep driver).  Dispatch is pipelined and
+        drained at ``sync_every_batches`` granularity."""
+        sigma = jnp.float32(self.channel.sigma[s])
+        pending = []
+
+        def drain():
+            for c in pending:
+                self.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
+                self.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
+            pending.clear()
+
+        for _ in range(batches):
+            self.key, sub = split_async(self.key)
+            pending.append(self._step(sub, sigma))
+            self.words[s] += self.cfg.batch_size
+            if len(pending) >= max(self.cfg.sync_every_batches, 1):
+                drain()
+        drain()
+
     def run(self, verbose: bool = True):
         cfg = self.cfg
         ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None

@@ -109,3 +109,34 @@ def test_montecarlo_campaign_sharded_and_restartable(mesh, setup, tmp_path):
     camp2.restore_state(ck)
     assert np.array_equal(camp2.words, camp.words)
     np.testing.assert_array_equal(camp2.bit_errors, camp.bit_errors)
+
+
+def test_campaign_run_snr_point_matches_run():
+    """The incremental run_snr_point API accumulates the same counters as the
+    whole-sweep run() driver for the same seed."""
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    chan = AWGNChannel(code, ChannelConfig(snr_db=(2.0,)))
+    cfg = CampaignConfig(batch_size=64, max_words_per_snr=256,
+                         min_frame_errors=0, engine="xla", seed=5)
+
+    a = MonteCarloCampaign(dec, params, chan, cfg)
+    a.run(verbose=False)
+    b = MonteCarloCampaign(dec, params, chan, cfg)
+    b.run_snr_point(0, batches=2)
+    b.run_snr_point(0, batches=2)
+    assert int(b.words[0]) == int(a.words[0]) == 256
+    np.testing.assert_array_equal(a.bit_errors, b.bit_errors)
+    np.testing.assert_array_equal(a.frame_errors, b.frame_errors)
