@@ -382,3 +382,45 @@ def test_two_stage_sparse_matches_dense():
     app2, used2 = ts.decode_sparse(llr2)
     assert np.asarray(used2).sum() == 0
     np.testing.assert_array_equal(np.asarray(app2), np.asarray(base_decode(llr2)))
+
+
+def test_legacy_engine_delegation_warns():
+    """engine='legacy' must warn (not silently switch) when the config forces
+    delegation to the stream kernel (round-2 ADVICE: a caller benchmarking
+    the legacy kernel could silently get stream numbers)."""
+    import warnings
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=2, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        f = FusedMinsumDecoder.from_decoder(
+            dec, params, engine="legacy", all_iterations=True, interpret=True
+        )
+    assert f._delegate is not None
+    assert any("delegates to the stream kernel" in str(w.message) for w in rec)
+    with pytest.raises(ValueError):
+        FusedMinsumDecoder.from_decoder(dec, params, engine="nonsense")
+
+
+def test_fused_capacity_helper_frontier():
+    """fused_capacity_ok admits the hardware-proven BG1-scale Z=128 decode
+    and rejects genuinely oversized codes."""
+    from neural_ldpc_tpu.ops.pallas.fused_train import fused_capacity_ok
+
+    rng = np.random.default_rng(0)
+    M, N = 46, 68
+    bg = np.full((M, N), -1, np.int64)
+    for m in range(M):
+        bg[m, m] = rng.integers(0, 383)
+        bg[m, M + (m % (N - M))] = rng.integers(0, 383)
+        if m > 0:
+            bg[m, m - 1] = rng.integers(0, 383)
+        for c in rng.choice(N - M, size=rng.integers(3, 8), replace=False):
+            bg[m, M + c] = rng.integers(0, 383)
+    assert fused_capacity_ok(TannerGraph.from_basegraph(bg, 128))
+    assert not fused_capacity_ok(TannerGraph.from_basegraph(bg, 384))
