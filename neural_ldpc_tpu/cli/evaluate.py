@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--snr", help="SNR list 'a,b,c' or range 'start:stop:step' (dB)")
     p.add_argument("--weights", help="npz of stacked decoder params (checkpoint save_weights)")
     p.add_argument("--checkpoint", help="full training checkpoint to restore params from")
+    p.add_argument("--import-reference", metavar="PATH",
+                   help="load weights from a torch-reference checkpoint "
+                        "(.pth, bare state_dict, or *_weights_txt export dir)")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--max-words", type=int)
     p.add_argument("--min-frame-errors", type=int)
@@ -96,6 +99,10 @@ def main(argv=None):
     elif args.checkpoint:
         cm = CheckpointManager(cfg.checkpoint_dir)
         params, _, _, _, _ = cm.load(args.checkpoint, params)
+    elif args.import_reference:
+        from neural_ldpc_tpu.utils.checkpoint import import_reference_weights
+
+        params = import_reference_weights(decoder, args.import_reference)
 
     mesh = make_mesh(cfg.mesh_devices) if cfg.mesh_devices else None
     camp = MonteCarloCampaign(

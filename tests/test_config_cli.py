@@ -163,3 +163,36 @@ def test_train_progress_golden_format():
     assert format_train_progress(0, 10, 1, 2, now=now) == \
         "[09:00:00] Epoch 1/2 [" + "#" * 20 + " " * 20 + "] 0/10"
     assert format_eta(7500) == "2h 5m" and format_eta(47) == "47s" and format_eta(312) == "5m 12s"
+
+
+def test_evaluate_cli_import_reference(tmp_path):
+    """--import-reference evaluates weights exported by the torch reference's
+    CheckPointUtil txt format end-to-end through the CLI."""
+    import numpy as np
+
+    from neural_ldpc_tpu.cli.evaluate import main as eval_main
+
+    # synthesize a txt export for the default preset's decoder (QMS 20 iters,
+    # cn=3/vn=3 scalars per iteration)
+    txt_dir = tmp_path / "weights_txt"
+    txt_dir.mkdir()
+    rng = np.random.RandomState(0)
+    lines = ["# header", "-" * 80, "Parameter_Name, Shape, Filename"]
+    for nt in ("CN", "VN"):
+        for i in range(20):
+            name = f"weight_{nt}_{i}"
+            np.savetxt(txt_dir / f"{name}.txt", np.atleast_1d(
+                rng.uniform(0.5, 1.5, size=(1,)).astype(np.float32)))
+            lines.append(f"{name}, [1], {name}.txt")
+    (txt_dir / "index.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "res.json"
+    rc = eval_main([
+        "--import-reference", str(txt_dir),
+        "--snr", "3.0", "--batch-size", "64", "--max-words", "128",
+        "--min-frame-errors", "0", "--engine", "xla", "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+    import json
+    data = json.loads(out.read_text())
+    assert data["results"]["3.0"]["words"] == 128
