@@ -90,12 +90,14 @@ def main():
         results[key] = entry
         print(f"{key}: {json.dumps(entry)}", file=sys.stderr)
 
-    # host datagen (native C++)
+    # host datagen (native C++); warm up first — the initial call pays the
+    # one-time g++ build of the native library plus thread-pool spawn
     code = get_code("nr_bg2_set0_z16")
     dg = HostDatagen(code, ChannelConfig(snr_db=(3.0,)), seed=1)
+    dg.batch(0, 256, all_zero=False)
     n = 4096
     t0 = time.perf_counter()
-    dg.batch(0, n, all_zero=False)
+    dg.batch(n, n, all_zero=False)
     dt_host = time.perf_counter() - t0
     results["host_datagen"] = {
         "native": native.available(),
