@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
 from neural_ldpc_tpu.codes import TannerGraph, get_code
 from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+from neural_ldpc_tpu.utils.checkpoint import CheckpointManager
 from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
 from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
 
@@ -53,6 +54,13 @@ def main():
         checkpoint_every_batches=512,
     ))
 
+    state_dir = os.path.join(REPO, "trained", "wman_waterfall_r3_state")
+    ckpt = CheckpointManager(state_dir)
+    if os.path.exists(os.path.join(state_dir, "mc_campaign.npz")):
+        camp.restore_state(ckpt)
+        print(f"resumed: words={camp.words.tolist()} "
+              f"errors={camp.frame_errors[:, -1].tolist()}", flush=True)
+
     t_start = time.time()
 
     def flush(note):
@@ -79,6 +87,7 @@ def main():
                and camp.frame_errors[s, -1] < TARGET_ERRORS
                and time.time() - t_start < WALL_BUDGET_S):
             camp.run_snr_point(s, batches=64)
+            camp.save_state(ckpt)
             flush("in progress")
             wps = camp.words[s] / max(time.time() - t0, 1e-9)
             fe = camp.frame_errors[s, -1]
