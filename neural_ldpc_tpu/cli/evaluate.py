@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--import-reference", metavar="PATH",
                    help="load weights from a torch-reference checkpoint "
                         "(.pth, bare state_dict, or *_weights_txt export dir)")
+    p.add_argument("--import-reference-unsafe", action="store_true",
+                   help="allow full (weights_only=False) unpickling if the safe "
+                        "torch loader rejects the file — executes arbitrary code "
+                        "embedded in the checkpoint; only for trusted files")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--max-words", type=int)
     p.add_argument("--min-frame-errors", type=int)
@@ -102,7 +106,10 @@ def main(argv=None):
     elif args.import_reference:
         from neural_ldpc_tpu.utils.checkpoint import import_reference_weights
 
-        params = import_reference_weights(decoder, args.import_reference)
+        params = import_reference_weights(
+            decoder, args.import_reference,
+            allow_unsafe=args.import_reference_unsafe,
+        )
 
     mesh = make_mesh(cfg.mesh_devices) if cfg.mesh_devices else None
     camp = MonteCarloCampaign(

@@ -184,16 +184,20 @@ class MonteCarloCampaign:
         sigma = jnp.float32(self.channel.sigma[s])
         pending = []
 
+        # words are counted in drain(), alongside the error counts, so the
+        # persisted counters stay consistent if a device fault interrupts the
+        # dispatch loop (ADVICE r3: dispatch-time counting biased FER low on
+        # resume after a partial failure)
         def drain():
-            for c in pending:
+            for c, n_words in pending:
+                self.words[s] += n_words
                 self.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
                 self.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
             pending.clear()
 
         for _ in range(batches):
             self.key, sub = split_async(self.key)
-            pending.append(self._step(sub, sigma))
-            self.words[s] += self.cfg.batch_size
+            pending.append((self._step(sub, sigma), self.cfg.batch_size))
             if len(pending) >= max(self.cfg.sync_every_batches, 1):
                 drain()
         drain()
@@ -206,17 +210,20 @@ class MonteCarloCampaign:
             pending = []
 
             def drain(s=s, pending=pending):
-                for c in pending:
+                for c, n_words in pending:
+                    self.words[s] += n_words
                     self.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
                     self.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
                 pending.clear()
 
-            while self.words[s] < cfg.max_words_per_snr:
+            # dispatched-but-undrained words count toward the budget check so
+            # the sweep stops at the same point it did when words were counted
+            # at dispatch time
+            while self.words[s] + len(pending) * cfg.batch_size < cfg.max_words_per_snr:
                 if cfg.min_frame_errors and self.frame_errors[s, -1] >= cfg.min_frame_errors:
                     break
                 self.key, sub = split_async(self.key)
-                pending.append(self._step(sub, jnp.float32(sigma)))
-                self.words[s] += cfg.batch_size
+                pending.append((self._step(sub, jnp.float32(sigma)), cfg.batch_size))
                 batches_done += 1
                 if len(pending) >= max(cfg.sync_every_batches, 1):
                     drain()

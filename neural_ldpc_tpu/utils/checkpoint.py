@@ -161,30 +161,50 @@ def _read_reference_txt_dir(txt_dir: str) -> dict[str, np.ndarray]:
     return named
 
 
-def _read_reference_pth(path: str) -> dict[str, np.ndarray]:
+def _read_reference_pth(path: str, allow_unsafe: bool = False) -> dict[str, np.ndarray]:
     """Load a reference ``.pth`` — either a full training checkpoint
     (``{'model_state_dict': ...}``, CheckPointUtil.save :21-63) or a bare
-    ``state_dict`` (save_weights :65-89)."""
+    ``state_dict`` (save_weights :65-89).
+
+    Loads with ``weights_only=True`` (no arbitrary-pickle execution); the
+    reference's own checkpoints load fine that way.  A checkpoint that fails
+    the safe loader is only retried with full unpickling when the caller
+    explicitly opts in via ``allow_unsafe=True`` — full unpickling executes
+    arbitrary code embedded in the file."""
     import torch  # the torch-cpu wheel in this image; only needed for .pth
 
     try:
         data = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as e:
+        if not allow_unsafe:
+            raise ValueError(
+                f"{path!r} failed the safe (weights_only=True) torch loader: {e}. "
+                "If you trust this file, retry with allow_unsafe=True "
+                "(CLI: --import-reference-unsafe); full unpickling can execute "
+                "arbitrary code embedded in the checkpoint."
+            ) from e
+        import warnings
+
+        warnings.warn(
+            f"UNSAFE LOAD: retrying {path!r} with weights_only=False — "
+            "arbitrary code in the pickle will execute.",
+            stacklevel=3,
+        )
         data = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(data, dict) and "model_state_dict" in data:
         data = data["model_state_dict"]
     return {k: np.asarray(v.detach().cpu().numpy(), np.float32) for k, v in data.items()}
 
 
-def read_reference_named_weights(path: str) -> dict[str, np.ndarray]:
+def read_reference_named_weights(path: str, allow_unsafe: bool = False) -> dict[str, np.ndarray]:
     """Reference checkpoint -> {parameter name: array}, from a ``.pth`` file
     or a ``*_weights_txt`` directory."""
     if os.path.isdir(path):
         return _read_reference_txt_dir(path)
-    return _read_reference_pth(path)
+    return _read_reference_pth(path, allow_unsafe=allow_unsafe)
 
 
-def import_reference_weights(decoder, path: str):
+def import_reference_weights(decoder, path: str, allow_unsafe: bool = False):
     """Build a framework params pytree from a torch-reference checkpoint.
 
     ``decoder`` is a BoostedNeuralDecoder (stacked ``weight_{cn,ucn,vn}``
@@ -193,7 +213,7 @@ def import_reference_weights(decoder, path: str):
     (``weights_var``/``biases_var`` stacks; reference nn.ParameterList keys
     ``weights_var.{i}``).  Inverse of ``named_parameter_rows``; cross-validates
     trained reference decoders inside this framework."""
-    named = read_reference_named_weights(path)
+    named = read_reference_named_weights(path, allow_unsafe=allow_unsafe)
 
     if hasattr(decoder, "specs"):  # boosted family
         params = {}

@@ -18,7 +18,10 @@ from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder, build_layo
 from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
 from neural_ldpc_tpu.training.loss import multi_iteration_loss
 
-pytestmark = pytest.mark.slow  # heavy lane: run with `pytest -m slow`
+# The default fast lane keeps one cheap value+grad parity case per routing
+# mode so a kernel regression fails `pytest -q` (ADVICE r3); the heavy
+# parametrizations and end-to-end cases run in the slow lane.
+slow = pytest.mark.slow
 
 
 def _setup(code_name, n_iter, dec_type, sharing, seed=0, B=32):
@@ -49,9 +52,48 @@ CASES = [
     ("nr_bg2_set0_z16", 4, DecoderType.QMS, NodeWeightSharingConfig(cn=3, ucn=0, vn=3)),
     ("nr_bg2_set0_z16", 3, DecoderType.QMS, NodeWeightSharingConfig(cn=3, ucn=2, vn=0)),
 ]
+FAST_CASES = [pytest.param(*c, marks=slow) for c in CASES]
 
 
-@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", CASES)
+@pytest.mark.parametrize("routing", [pytest.param("matmul", marks=slow), "roll"])
+def test_fused_train_grad_parity_fast(routing):
+    """Fast-lane value+grad parity smoke (ADVICE r3): one cheap wman case on
+    the production (roll) routing so `pytest -q` catches kernel grad
+    regressions; matmul routing and the full matrix run in the slow lane.
+    (Interpret-mode trace overhead dominates, so one case ≈ 30 s.)"""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)  # relift at Z=8: cheap
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=2),
+        matmul_precision="highest"))
+    rng = np.random.default_rng(0)
+    params = {k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(8, g.N, 8)).astype(np.float32) * 4)
+    bits = jnp.zeros((8, g.N * 8), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing=routing, routing_dtype=jnp.float32)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    np.testing.assert_allclose(
+        np.asarray(ft.apply(cn_w, ucn_w, vn_w, llr)),
+        np.asarray(dec.apply(params, llr)), atol=2e-5)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=[0, 1, 2])
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=[0, 1, 2])
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", FAST_CASES)
 def test_fused_train_matches_flat(code_name, n_iter, dec_type, sharing):
     dec, ft, params, llr, bits = _setup(code_name, n_iter, dec_type, sharing)
     coeffs = list(range(n_iter))
@@ -91,6 +133,7 @@ def test_layout_covers_all_edges():
     assert np.all(cols[:, :, g.Z:].sum(axis=0) == 0.0)
 
 
+@slow
 def test_fused_train_odd_z():
     """Z not a multiple of 8 (the round-1 kernel required Z % 8 == 0)."""
     code = get_code("wman_n576_r34_z24")
@@ -128,6 +171,7 @@ def test_fused_train_odd_z():
                                    atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
 
 
+@slow
 def test_train_step_fused_engine_runs():
     """make_train_step(engine='fused') takes optimizer steps that reduce loss."""
     from neural_ldpc_tpu.training.train_loop import TrainConfig, make_train_step
@@ -165,7 +209,10 @@ def test_train_step_fused_engine_runs():
         ftmod.FusedTrainDecoder.from_decoder = staticmethod(orig)
 
 
-@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", [CASES[0], CASES[2], CASES[3]])
+@pytest.mark.parametrize(
+    "code_name,n_iter,dec_type,sharing",
+    [pytest.param(*c, marks=slow) for c in (CASES[0], CASES[2], CASES[3])],
+)
 def test_fused_train_roll_routing_matches_flat(code_name, n_iter, dec_type, sharing):
     """VPU roll-based routing (no one-hot operand): values and gradients must
     match the flat XLA path exactly like the matmul mode does."""
@@ -193,6 +240,7 @@ def test_fused_train_roll_routing_matches_flat(code_name, n_iter, dec_type, shar
                                    atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
 
 
+@slow
 def test_fused_train_roll_routing_odd_z():
     """Roll routing with Z % 8 != 0 (rotation restricted to the valid Z rows)."""
     code = get_code("wman_n576_r34_z24")
@@ -214,7 +262,8 @@ def test_fused_train_roll_routing_odd_z():
         np.asarray(dec.apply(params, llr)), atol=2e-5)
 
 
-@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("int8", [pytest.param(False, marks=slow),
+                                  pytest.param(True, marks=slow)])
 def test_fused_train_matmul_routing_grads(int8):
     """Gradient parity for explicit routing='matmul' (ADVICE r2: the auto
     picker chooses roll for every shipped code, so the matmul VJP — incl. the
