@@ -105,6 +105,20 @@ class _TrainMeta:
     # False = decode-only fast path: just the final iteration's APP leaves the
     # kernel (training and per-iteration stats need the full stream)
     stream_outputs: bool = True
+    # Big-code mode (round 4, VERDICT item 1): the [E*Zp, bt] message state no
+    # longer fits VMEM residency, so it lives in HBM and streams through small
+    # VMEM bounce buffers one degree-class CHUNK at a time (async DMA).  In
+    # training mode the carry IS the per-iteration store the backward pass
+    # needs anyway (read slot i-1, write slot i), so streaming costs no extra
+    # HBM traffic on the forward; the backward adds an HBM gradient-carry
+    # buffer.  Chunking also bounds Mosaic register liveness to one chunk —
+    # the round-3 wall was ~100 MB of spills from per-class temporaries the
+    # allocator never freed.  Roll routing only.
+    hbm_store: bool = False
+    # (msg_row_base, degree, n_checks) per chunk; chunks subdivide degree
+    # classes at whole-check granularity and cover the E*Zp rows in order
+    chunks: tuple[tuple[int, int, int], ...] = ()
+    chunk_rows: int = 0  # max rows over chunks (bounce-buffer height)
 
 
 def _round8(x: int) -> int:
@@ -140,18 +154,46 @@ def _vmem_bytes(meta: "_TrainMeta", bt: int, operand_bytes: int) -> int:
     return fwd + w + operand_bytes
 
 
-def fused_capacity_ok(graph: TannerGraph) -> bool:
-    """Whether the code's message state fits VMEM residency at the minimum
-    128-lane batch tile (v5e: 128MB physical; ~100MB usable after Mosaic
-    liveness).  Beyond this the XLA paths (HBM-streamed messages) take over.
+def _vmem_bytes_hbm(meta: "_TrainMeta", bt: int) -> int:
+    """Peak VMEM estimate for the HBM-streamed kernels at batch tile ``bt``:
+    per-VN [NZp, bt] windows/scratches plus chunk bounce buffers and their
+    in-flight temporaries (the message state itself lives in HBM)."""
+    NZpB = meta.NZp * 4 * bt
+    CRB = meta.chunk_rows * 4 * bt
+    lanes = max(bt, 128)
+    w = 0
+    if meta.has_cn_w or meta.has_ucn:
+        w += 2 * meta.Ep8 * lanes * 4 * 2
+    if meta.has_ucn:
+        w += 2 * meta.Ep8 * lanes * 4 * 2
+    if meta.has_vn_w:
+        w += 2 * meta.Np8 * lanes * 4 * 2
+    if meta.store_msgs:
+        # backward peak: chan(2) + gout(2) + gchan + gsums + g_T + sums_prev
+        # = 8 windows, + chanq(2)/gchanq under QMS, + prevout(2) under UCN;
+        # 3 bounces + ~8x chunk-sized register liveness in the per-chunk
+        # adjoint
+        n = 8 + (3 if meta.qms_qbit is not None else 0) + (2 if meta.has_ucn else 0)
+        return n * NZpB + 11 * CRB + w
+    n = 6 + (2 if meta.qms_qbit is not None else 0)
+    return n * NZpB + 8 * CRB + w
 
-    Round-3 recalibration: the lane-layout weight streams cost ~nothing, so
-    the budget is scratches + stream windows only — BG1-scale Z=128 decode
-    (55 MB estimate) compiles and runs (bigcode_r3.json)."""
+
+def fused_capacity_ok(graph: TannerGraph) -> bool:
+    """Whether the fused kernel can decode this code on one chip.
+
+    Round 4: codes whose message state exceeds VMEM residency stream it
+    through HBM per degree-class chunk (meta.hbm_store), so the remaining
+    limits are the per-VN working set (NZp windows must fit VMEM at the
+    minimum 128-lane tile) and compile time (the roll routing unrolls per
+    edge; beyond ~1024 edges the build is impractical)."""
     EZp = graph.E * _round8(graph.Z)
     NZp = graph.N * _round8(graph.Z)
-    # decode-mode estimate, roll routing, bt=128
-    return (EZp + NZp) * 4 * 128 + 6 * NZp * 4 * 128 <= 90 * 1024 * 1024
+    # VMEM-resident fast path, roll routing, bt=128
+    if (EZp + NZp) * 4 * 128 + 6 * NZp * 4 * 128 <= 90 * 1024 * 1024:
+        return True
+    # HBM-streamed path: per-VN windows + chunk bounces only
+    return graph.E <= 1024 and 10 * NZp * 4 * 128 <= 90 * 1024 * 1024
 
 
 def build_layout(graph: TannerGraph):
@@ -195,6 +237,24 @@ def _class_ranges(meta: _TrainMeta):
     for d, n in meta.deg_classes:
         yield base, d, n
         base += d * n * meta.Zp
+
+
+def _build_chunks(deg_classes, Zp: int, max_rows: int):
+    """Split degree classes into whole-check chunks of <= max_rows message
+    rows (or one check, whichever is larger).  Chunks cover the E*Zp rows
+    contiguously in class order, so per-chunk iteration visits edges in
+    exactly the order the whole-array formulations do."""
+    chunks = []
+    base = 0
+    for d, n in deg_classes:
+        per = max(1, max_rows // (d * Zp))
+        c0 = 0
+        while c0 < n:
+            nc = min(per, n - c0)
+            chunks.append((base + c0 * d * Zp, d, nc))
+            c0 += nc
+        base += d * n * Zp
+    return tuple(chunks)
 
 
 # ---------------------------------------------------------------------------
@@ -596,6 +656,20 @@ def _ucn_mask_from_app(app, rt_ref, meta: _TrainMeta, routing_dtype):
     return _ucn_mask_classes(jnp.where(s_route < 0, -1.0, 1.0), meta)
 
 
+def _ucn_mask_one(sign_rows, d: int, nc: int, meta: _TrainMeta):
+    """One chunk's per-edge unsatisfied-check indicator from routed decision
+    signs (chunks align to whole checks, so parity is chunk-local)."""
+    bt = sign_rows.shape[1]
+    seg = sign_rows.reshape(nc, d, meta.Zp, bt)
+    parity = seg[:, 0]
+    for j in range(1, d):
+        parity = parity * seg[:, j]
+    ucn = jnp.where(parity < 0, 1.0, 0.0)
+    return jnp.broadcast_to(ucn[:, None], (nc, d, meta.Zp, bt)).reshape(
+        d * nc * meta.Zp, bt
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel: grid (batch_tiles, iterations), one BP iteration per step
 # ---------------------------------------------------------------------------
@@ -748,6 +822,158 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         interpret=interpret,
     )(chan, chanq, rt, r, cnw, vnw, ucnw)
     return res if meta.store_msgs else (res, None)
+
+
+# ---------------------------------------------------------------------------
+# Big-code forward kernel: HBM-resident message state, per-chunk DMA streaming
+# ---------------------------------------------------------------------------
+def _fwd_kernel_hbm(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref,
+                    cnw_ref, vnw_ref, ucnw_ref, out_ref, store_ref,
+                    sums_scr, rbounce, wbounce, rsem, wsem):
+    """One BP iteration per grid step with the [E*Zp, bt] message state in
+    HBM.  Training mode: the entering state of iteration i is read from store
+    slot i-1 and the new messages are written to slot i — the store the
+    backward needs doubles as the carry, so streaming adds no HBM traffic
+    beyond what training stores anyway.  Decode mode: one slot, read-modify-
+    write.  Roll routing only (matmul operands at this scale dwarf VMEM)."""
+    I = meta.n_iterations
+    bi, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        sums_scr[:] = jnp.zeros_like(sums_scr)
+
+    chan = chan_ref[:]
+    chan_out = chanq_ref[:] if meta.qms_qbit is not None else chan
+    if meta.has_vn_w:
+        xa = chan * _w_vn(vnw_ref, meta)
+        xa_q = _quantize(xa, meta.qms_qbit) if meta.qms_qbit is not None else xa
+    else:
+        xa_q = chan_out
+    if meta.has_ucn:
+        prev_app = jnp.clip(chan_out + sums_scr[:], meta.clip_lo, meta.clip_hi)
+        app = jnp.where(i == 0, xa_q, prev_app)
+        dsign = jnp.where(app < 0, -1.0, 1.0)
+    vn_total = xa_q + sums_scr[:]
+    bt_k = vn_total.shape[1]
+
+    rslot = jnp.maximum(i - 1, 0) if meta.store_msgs else 0
+    wslot = i if meta.store_msgs else 0
+
+    acc = [None] * meta.N
+    for base, d, nc in meta.chunks:
+        nrows = d * nc * meta.Zp
+        ne, e0 = d * nc, base // meta.Zp
+
+        @pl.when(i != 0)
+        def _read(base=base, nrows=nrows, rslot=rslot):
+            cp = pltpu.make_async_copy(
+                store_ref.at[rslot, bi, pl.ds(base, nrows), :],
+                rbounce.at[pl.ds(0, nrows), :], rsem,
+            )
+            cp.start()
+            cp.wait()
+
+        old = jnp.where(i == 0, 0.0, rbounce[pl.ds(0, nrows), :])
+        routed = _route_e_rows(vn_total, None, meta, routing_dtype, e0, e0 + ne)
+        v2c = _clip_or_quant(routed - old, meta)
+        if meta.sum_product:
+            part = _cn_sumproduct_classes_one(v2c, d, nc, meta)
+        else:
+            part = _cn_minsum_one(v2c, d, nc, meta)
+        # post-CN weighting chain (reference :431-512), chunk-local
+        w_mag = jnp.abs(part)
+        if meta.has_ucn:
+            s_route = _route_e_rows(dsign, None, meta, routing_dtype, e0, e0 + ne)
+            u = _ucn_mask_one(jnp.where(s_route < 0, -1.0, 1.0), d, nc, meta)
+            w_mag = w_mag * (
+                _w_rows(cnw_ref, meta, base, nrows, bt_k) * (1.0 - u)
+                + _w_rows(ucnw_ref, meta, base, nrows, bt_k) * u
+            )
+        elif meta.has_cn_w:
+            w_mag = w_mag * _w_rows(cnw_ref, meta, base, nrows, bt_k)
+        w_mag = jnp.maximum(w_mag, 0.0)
+        w_mag = _clip_or_quant(w_mag, meta)
+        part = w_mag * jnp.sign(part)
+
+        # the final iteration's messages are dead — skip the writeback
+        @pl.when(i != I - 1)
+        def _write(part=part, base=base, nrows=nrows, wslot=wslot):
+            wbounce[pl.ds(0, nrows), :] = part
+            cp = pltpu.make_async_copy(
+                wbounce.at[pl.ds(0, nrows), :],
+                store_ref.at[wslot, bi, pl.ds(base, nrows), :], wsem,
+            )
+            cp.start()
+            cp.wait()
+
+        for k in range(ne):
+            e = e0 + k
+            nn = meta.vn_of_edge[e]
+            c = _roll_z(part[k * meta.Zp : (k + 1) * meta.Zp], -meta.shift_of_edge[e], meta)
+            acc[nn] = c if acc[nn] is None else acc[nn] + c
+
+    zero = jnp.zeros((meta.Zp, bt_k), jnp.float32)
+    sums_scr[:] = jnp.concatenate([a if a is not None else zero for a in acc], axis=0)
+    if meta.stream_outputs:
+        out_ref[0] = chan_out + sums_scr[:]
+    else:
+        @pl.when(i == I - 1)
+        def _write_final():
+            out_ref[0] = chan_out + sums_scr[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
+)
+def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
+                 routing_dtype, interpret):
+    NZp, B = chan.shape
+    EZp = meta.E * meta.Zp
+    I = meta.n_iterations
+    nb = B // bt
+    slots = max(I - 1, 1) if meta.store_msgs else 1
+    kernel = functools.partial(_fwd_kernel_hbm, meta, routing_dtype)
+    iter_block = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda bi, i: (i,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+    )
+    if meta.stream_outputs:
+        out0_shape = jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)
+        out0_spec = pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
+    else:
+        out0_shape = jax.ShapeDtypeStruct((1, NZp, B), jnp.float32)
+        out0_spec = pl.BlockSpec((1, NZp, bt), lambda bi, i: (0, 0, bi), memory_space=pltpu.VMEM)
+    chanq_spec = (
+        pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        if meta.qms_qbit is not None
+        else pl.BlockSpec(chanq.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    outs, store = pl.pallas_call(
+        kernel,
+        grid=(nb, I),
+        in_specs=[
+            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
+            chanq_spec,
+            iter_block((1,) + cnw.shape[1:]),
+            iter_block((1,) + vnw.shape[1:]),
+            iter_block((1,) + ucnw.shape[1:]),
+        ],
+        out_specs=[out0_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=[
+            out0_shape,
+            jax.ShapeDtypeStruct((slots, nb, EZp, bt), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NZp, bt), jnp.float32),
+            pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
+            pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        interpret=interpret,
+    )(chan, chanq, cnw, vnw, ucnw)
+    return outs, (store if meta.store_msgs else None)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,6 +1274,296 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
 
 
 # ---------------------------------------------------------------------------
+# Big-code backward kernel: HBM store + HBM gradient carry, chunk-streamed
+# ---------------------------------------------------------------------------
+def _bwd_kernel_hbm(meta: _TrainMeta, routing_dtype,
+                    chan_ref, chanq_ref, cnw_ref, vnw_ref, ucnw_ref,
+                    prevout_ref, gout_ref, store_ref,
+                    gcnw_ref, gvnw_ref, gucnw_ref, gchan_ref, gchanq_ref,
+                    gmsg_ref,
+                    gsums_scr, rbounce, gbounce, wbounce, rsem, gsem, wsem):
+    """Adjoint of one BP iteration per grid step with the message store AND
+    the adjoint message carry in HBM.  Pass 1 rebuilds sums_{i-1} from the
+    stored entering state in the forward's exact per-edge accumulation order;
+    pass 2 re-reads each chunk, recomputes its forward intermediates, and
+    backpropagates — register liveness stays bounded by one chunk (the
+    round-3 whole-code formulation spilled ~100 MB at BG1 scale)."""
+    I = meta.n_iterations
+    bi, j = pl.program_id(0), pl.program_id(1)
+    i = I - 1 - j
+
+    @pl.when(j == 0)
+    def _init():
+        gsums_scr[:] = jnp.zeros_like(gsums_scr)
+        gchan_ref[:] = jnp.zeros_like(gchan_ref)
+        gchanq_ref[:] = jnp.zeros_like(gchanq_ref)
+
+    gq_ref = gchanq_ref if meta.qms_qbit is not None else gchan_ref
+    chan = chan_ref[:]
+    chan_out = chanq_ref[:] if meta.qms_qbit is not None else chan
+    g_out = gout_ref[0]
+    bt_k = g_out.shape[1]
+    rslot = jnp.maximum(i - 1, 0)
+
+    if meta.has_vn_w:
+        vnw_flat = _w_vn(vnw_ref, meta)
+        xa = chan * vnw_flat
+        if meta.qms_qbit is not None:
+            xa_q = _quantize(xa, meta.qms_qbit)
+            lo_q, hi_q, _ = _QMS_TABLE[meta.qms_qbit]
+            mask_xa = _clip_grad_mask(xa, lo_q, hi_q)
+        else:
+            xa_q = xa
+            mask_xa = jnp.ones_like(xa)
+    else:
+        xa_q = chan_out
+
+    # ---- pass 1: sums entering iteration i, in the forward's edge order ----
+    acc1 = [None] * meta.N
+    for base, d, nc in meta.chunks:
+        nrows = d * nc * meta.Zp
+        ne, e0 = d * nc, base // meta.Zp
+
+        @pl.when(i != 0)
+        def _read1(base=base, nrows=nrows, rslot=rslot):
+            cp = pltpu.make_async_copy(
+                store_ref.at[rslot, bi, pl.ds(base, nrows), :],
+                rbounce.at[pl.ds(0, nrows), :], rsem,
+            )
+            cp.start()
+            cp.wait()
+
+        msg_cls = jnp.where(i == 0, 0.0, rbounce[pl.ds(0, nrows), :])
+        for k in range(ne):
+            e = e0 + k
+            nn = meta.vn_of_edge[e]
+            c = _roll_z(msg_cls[k * meta.Zp : (k + 1) * meta.Zp], -meta.shift_of_edge[e], meta)
+            acc1[nn] = c if acc1[nn] is None else acc1[nn] + c
+    zero = jnp.zeros((meta.Zp, bt_k), jnp.float32)
+    sums_prev = jnp.concatenate([a if a is not None else zero for a in acc1], axis=0)
+
+    if meta.has_ucn:
+        prev_pre = prevout_ref[0]  # pre-clip APP of iteration i-1 (garbage at i=0)
+        prev_app = jnp.clip(prev_pre, meta.clip_lo, meta.clip_hi)
+        app = jnp.where(i == 0, xa_q, prev_app)
+        dsign = jnp.where(app < 0, -1.0, 1.0)
+
+    vn_total = xa_q + sums_prev
+    lo_m, hi_m = _msg_range(meta)
+    g_sums_total = gsums_scr[:] + g_out
+
+    # ---- pass 2: per-chunk adjoint ----
+    acc = [None] * meta.N
+    g_cnw_parts, g_ucnw_parts = [], []
+    for base, d, nc in meta.chunks:
+        nrows = d * nc * meta.Zp
+        ne, e0 = d * nc, base // meta.Zp
+
+        @pl.when(i != 0)
+        def _read2(base=base, nrows=nrows, rslot=rslot):
+            cp = pltpu.make_async_copy(
+                store_ref.at[rslot, bi, pl.ds(base, nrows), :],
+                rbounce.at[pl.ds(0, nrows), :], rsem,
+            )
+            cp.start()
+            cp.wait()
+
+        msg_prev_cls = jnp.where(i == 0, 0.0, rbounce[pl.ds(0, nrows), :])
+        routed_cls = _route_e_rows(vn_total, None, meta, routing_dtype, e0, e0 + ne)
+        v2c_pre = routed_cls - msg_prev_cls
+        mask_cls = _clip_grad_mask(v2c_pre, lo_m, hi_m)
+        v2c_cls = _clip_or_quant(v2c_pre, meta)
+
+        @pl.when(j != 0)
+        def _readg(base=base, nrows=nrows):
+            cp = pltpu.make_async_copy(
+                gmsg_ref.at[bi, pl.ds(base, nrows), :],
+                gbounce.at[pl.ds(0, nrows), :], gsem,
+            )
+            cp.start()
+            cp.wait()
+
+        g_msg_cls = jnp.where(j == 0, 0.0, gbounce[pl.ds(0, nrows), :]) + _route_e_rows(
+            g_sums_total, None, meta, routing_dtype, e0, e0 + ne, grad=True
+        )
+
+        if meta.has_ucn:
+            s_route = _route_e_rows(dsign, None, meta, routing_dtype, e0, e0 + ne)
+            ucn_cls = _ucn_mask_one(jnp.where(s_route < 0, -1.0, 1.0), d, nc, meta)
+            scn_cls = 1.0 - ucn_cls
+
+        def g_extrmin_fn(c2v, base=base, nrows=nrows, ne=ne, g_msg_cls=g_msg_cls):
+            mag = jnp.abs(c2v)
+            if meta.has_ucn:
+                w_eff = (
+                    _w_rows(cnw_ref, meta, base, nrows, bt_k) * scn_cls
+                    + _w_rows(ucnw_ref, meta, base, nrows, bt_k) * ucn_cls
+                )
+            elif meta.has_cn_w:
+                w_eff = _w_rows(cnw_ref, meta, base, nrows, bt_k)
+            else:
+                w_eff = jnp.ones_like(mag)
+            wm_pre = mag * w_eff
+            wm_relu = jnp.maximum(wm_pre, 0.0)
+            s_nz = jnp.sign(c2v)
+            g_wm_q = g_msg_cls * s_nz
+            g_wm_relu = g_wm_q * _clip_grad_mask(wm_relu, lo_m, hi_m)
+            g_wm_pre = g_wm_relu * _relu_grad_mask(wm_pre)
+            g_w = g_wm_pre * mag
+            if meta.has_ucn:
+                g_cnw = _g_edge_w(g_w * scn_cls, meta, ne)
+                g_ucnw = _g_edge_w(g_w * ucn_cls, meta, ne)
+            elif meta.has_cn_w:
+                g_cnw = _g_edge_w(g_w, meta, ne)
+                g_ucnw = None
+            else:
+                g_cnw = None
+                g_ucnw = None
+            g_extrmin = g_wm_pre * w_eff
+            return g_extrmin, g_cnw, g_ucnw
+
+        g_v2c_cls, g_cnw_p, g_ucnw_p = _cn_minsum_fwd_bwd_one(
+            v2c_cls, d, nc, meta, g_extrmin_fn
+        )
+        g_cnw_parts.append(g_cnw_p)
+        g_ucnw_parts.append(g_ucnw_p)
+
+        g_v2c_pre = g_v2c_cls * mask_cls
+        # v2c_pre = routed - msg_prev: message-carry cotangent for step i-1
+        @pl.when(j != I - 1)
+        def _writeg(g_v2c_pre=g_v2c_pre, base=base, nrows=nrows):
+            wbounce[pl.ds(0, nrows), :] = -g_v2c_pre
+            cp = pltpu.make_async_copy(
+                wbounce.at[pl.ds(0, nrows), :],
+                gmsg_ref.at[bi, pl.ds(base, nrows), :], wsem,
+            )
+            cp.start()
+            cp.wait()
+
+        for k in range(ne):
+            e = e0 + k
+            nn = meta.vn_of_edge[e]
+            c = _roll_z(g_v2c_pre[k * meta.Zp : (k + 1) * meta.Zp], -meta.shift_of_edge[e], meta)
+            acc[nn] = c if acc[nn] is None else acc[nn] + c
+
+    g_T = jnp.concatenate([a if a is not None else zero for a in acc], axis=0)
+    gsums_scr[:] = g_T
+
+    g_cnw_i = None if g_cnw_parts[0] is None else jnp.concatenate(g_cnw_parts, axis=0)
+    g_ucnw_i = None if g_ucnw_parts[0] is None else jnp.concatenate(g_ucnw_parts, axis=0)
+
+    gq_ref[:] += g_out  # out_pre_i = chanq + sums_i
+
+    def _pad_edge_g(g):
+        if meta.w_layout == "col":
+            return g
+        return jnp.pad(g, ((0, meta.Ep8 - meta.E), (0, 0)))
+
+    if meta.has_vn_w:
+        g_xa = g_T * mask_xa
+        if meta.w_layout == "col":
+            gvnw_ref[0, 0] = jnp.sum(g_xa * chan, axis=1, keepdims=True)
+        else:
+            g_vn = (g_xa * chan).reshape(meta.N, meta.Zp, g_xa.shape[1]).sum(axis=1)
+            gvnw_ref[0, 0] = jnp.pad(g_vn, ((0, meta.Np8 - meta.N), (0, 0)))
+        gchan_ref[:] += g_xa * vnw_flat
+    else:
+        gq_ref[:] += g_T  # xa_q IS chanq
+        gvnw_ref[0, 0] = jnp.zeros_like(gvnw_ref[0, 0])
+    gcnw_ref[0, 0] = (
+        _pad_edge_g(g_cnw_i) if g_cnw_i is not None
+        else jnp.zeros_like(gcnw_ref[0, 0])
+    )
+    gucnw_ref[0, 0] = (
+        _pad_edge_g(g_ucnw_i) if g_ucnw_i is not None
+        else jnp.zeros_like(gucnw_ref[0, 0])
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
+)
+def _bwd_run_hbm(chan, chanq, cnw, vnw, ucnw, store, outs, g_outs,
+                 meta: _TrainMeta, bt: int, routing_dtype, interpret):
+    NZp, B = chan.shape
+    EZp = meta.E * meta.Zp
+    I = meta.n_iterations
+    nb = B // bt
+    kernel = functools.partial(_bwd_kernel_hbm, meta, routing_dtype)
+    rev = lambda j: I - 1 - j  # noqa: E731
+    chanq_spec = (
+        pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM)
+        if meta.qms_qbit is not None
+        else pl.BlockSpec(chanq.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM)
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(nb, I),
+        in_specs=[
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            chanq_spec,
+            pl.BlockSpec((1,) + cnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + vnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + ucnw.shape[1:], lambda bi, j: (rev(j), 0, 0), memory_space=pltpu.VMEM),
+            # pre-clip APP of iteration i-1, consumed only by the UCN mask —
+            # without UCN ride a token window so the stream costs no VMEM
+            (
+                pl.BlockSpec(
+                    (1, NZp, bt),
+                    lambda bi, j: (jnp.maximum(rev(j) - 1, 0), 0, bi),
+                    memory_space=pltpu.VMEM,
+                )
+                if meta.has_ucn
+                else pl.BlockSpec((1, 8, 128), lambda bi, j: (0, 0, 0), memory_space=pltpu.VMEM)
+            ),
+            pl.BlockSpec((1, NZp, bt), lambda bi, j: (rev(j), 0, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # store
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1) + cnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + vnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + ucnw.shape[1:], lambda bi, j: (bi, rev(j), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((NZp, bt), lambda bi, j: (0, bi), memory_space=pltpu.VMEM)
+                if meta.qms_qbit is not None
+                else pl.BlockSpec(chanq.shape, lambda bi, j: (0, 0), memory_space=pltpu.VMEM)
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # adjoint message carry
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, I) + cnw.shape[1:], jnp.float32),
+            jax.ShapeDtypeStruct((nb, I) + vnw.shape[1:], jnp.float32),
+            jax.ShapeDtypeStruct((nb, I) + ucnw.shape[1:], jnp.float32),
+            jax.ShapeDtypeStruct((NZp, B), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (NZp, B) if meta.qms_qbit is not None else chanq.shape, jnp.float32
+            ),
+            jax.ShapeDtypeStruct((nb, EZp, bt), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NZp, bt), jnp.float32),
+            pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
+            pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
+            pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        interpret=interpret,
+    )(chan, chanq, cnw, vnw, ucnw, outs, g_outs, store)
+    g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq, _ = res
+    return (
+        g_cnw_b.sum(axis=0),
+        g_vnw_b.sum(axis=0),
+        g_ucnw_b.sum(axis=0),
+        g_chan,
+        g_chanq,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrapper with custom VJP
 # ---------------------------------------------------------------------------
 class FusedTrainDecoder:
@@ -1077,6 +1593,10 @@ class FusedTrainDecoder:
         routing_dtype=jnp.bfloat16,
         int8_routing: Optional[bool] = None,
         interpret: bool = False,
+        # "vmem" = message state resident in VMEM scratch (fast path);
+        # "hbm" = stream it through HBM per degree-class chunk (big codes);
+        # "auto" = vmem while it fits, else hbm
+        store_space: str = "auto",
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -1144,7 +1664,8 @@ class FusedTrainDecoder:
         # blows physical VMEM with ~100 MB of register spills — the backward
         # register allocator does not free per-class temporaries.
         limit = (70 if store_msgs else 100) * 1024 * 1024
-        if bt is None:
+        auto_bt = bt is None
+        if auto_bt:
             # round-3 hardware sweep (measure_r3): small tiles pipeline the
             # grid better — decode peaks at bt=128 (wman 14.2M vs 11.8M at
             # the round-2 default 512) / 256 for larger codes; training at
@@ -1155,12 +1676,47 @@ class FusedTrainDecoder:
                 bt = 128 if graph.E * Zp <= 2500 else 256
             while bt > 128 and _vmem_bytes(self.meta, bt, operand_bytes) > limit:
                 bt //= 2
-        if _vmem_bytes(self.meta, bt, operand_bytes) > limit:
+        if store_space not in ("auto", "vmem", "hbm"):
+            raise ValueError(f"unknown store_space {store_space!r}")
+        if store_space == "auto":
+            store_space = (
+                "hbm" if _vmem_bytes(self.meta, bt, operand_bytes) > limit else "vmem"
+            )
+        if store_space == "hbm":
+            # big-code mode: messages stream HBM<->VMEM per degree-class chunk
+            if routing != "roll":
+                raise ValueError(
+                    "store_space='hbm' requires roll routing (one-hot matmul "
+                    "operands at this scale dwarf VMEM)"
+                )
+            hbm_limit = 100 * 1024 * 1024
+            while True:
+                # chunk height targets ~2 MB of bounce at this tile; at least
+                # one whole check per chunk
+                max_rows = max((2 * 1024 * 1024) // (4 * bt), max(
+                    d for d, _ in deg_classes) * Zp)
+                chunks = _build_chunks(deg_classes, Zp, max_rows)
+                self.meta = dataclasses.replace(
+                    self.meta, hbm_store=True, chunks=chunks,
+                    chunk_rows=max(d * nc * Zp for _, d, nc in chunks),
+                )
+                if _vmem_bytes_hbm(self.meta, bt) <= hbm_limit or bt <= 128:
+                    break
+                if not auto_bt:
+                    break
+                bt //= 2
+            if _vmem_bytes_hbm(self.meta, bt) > hbm_limit:
+                raise ValueError(
+                    f"code too large even for HBM-streamed messages (NZp = "
+                    f"{NZp}, estimated {_vmem_bytes_hbm(self.meta, bt) >> 20}MB "
+                    f"at bt={bt}); use the XLA paths (ops/flat.py)"
+                )
+        elif _vmem_bytes(self.meta, bt, operand_bytes) > limit:
             raise ValueError(
                 f"code too large for VMEM-resident messages (E*Zp = {graph.E * Zp}, "
                 f"estimated {_vmem_bytes(self.meta, bt, operand_bytes) >> 20}MB at "
-                f"bt={bt}); decode/train it on the XLA paths (ops/flat.py streams "
-                "messages via HBM)"
+                f"bt={bt}); retry with store_space='hbm' (chunk-streamed "
+                "messages) or the XLA paths (ops/flat.py)"
             )
         self.bt = bt
         self.routing_dtype = routing_dtype
@@ -1221,18 +1777,23 @@ class FusedTrainDecoder:
         w = jnp.pad(w, ((0, 0), (0, m.Np8 - m.N)))
         return jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.Np8, self.bt))
 
-    def _primal(self, cnw, vnw, ucnw, chan, chanq):
-        outs, _ = _fwd_run(
+    def _fwd_any(self, cnw, vnw, ucnw, chan, chanq):
+        if self.meta.hbm_store:
+            return _fwd_run_hbm(
+                chan, chanq, cnw, vnw, ucnw,
+                self.meta, self.bt, self.routing_dtype, self.interpret,
+            )
+        return _fwd_run(
             chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
             self.meta, self.bt, self.routing_dtype, self.interpret,
         )
+
+    def _primal(self, cnw, vnw, ucnw, chan, chanq):
+        outs, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs
 
     def _vjp_fwd(self, cnw, vnw, ucnw, chan, chanq):
-        outs, store = _fwd_run(
-            chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
-            self.meta, self.bt, self.routing_dtype, self.interpret,
-        )
+        outs, store = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs, (cnw, vnw, ucnw, chan, chanq, store, outs)
 
     def _vjp_bwd(self, res, g_outs):
@@ -1242,10 +1803,16 @@ class FusedTrainDecoder:
                 "backward requires store_msgs=True (streaming decode mode has "
                 "no message checkpoints)"
             )
-        g_cnw, g_vnw, g_ucnw, g_chan, g_chanq = _bwd_run(
-            chan, chanq, self._rt, self._r, cnw, vnw, ucnw, store, outs, g_outs,
-            self.meta, self.bt, self.routing_dtype, self.interpret,
-        )
+        if self.meta.hbm_store:
+            g_cnw, g_vnw, g_ucnw, g_chan, g_chanq = _bwd_run_hbm(
+                chan, chanq, cnw, vnw, ucnw, store, outs, g_outs,
+                self.meta, self.bt, self.routing_dtype, self.interpret,
+            )
+        else:
+            g_cnw, g_vnw, g_ucnw, g_chan, g_chanq = _bwd_run(
+                chan, chanq, self._rt, self._r, cnw, vnw, ucnw, store, outs, g_outs,
+                self.meta, self.bt, self.routing_dtype, self.interpret,
+            )
         return g_cnw, g_vnw, g_ucnw, g_chan, g_chanq
 
     # -- public API ---------------------------------------------------------
@@ -1288,10 +1855,7 @@ class FusedTrainDecoder:
         if m.stream_outputs:
             outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         else:
-            outs_pre, _ = _fwd_run(
-                chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
-                self.meta, self.bt, self.routing_dtype, self.interpret,
-            )
+            outs_pre, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
         I = outs.shape[0]  # 1 when stream_outputs=False
         o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]

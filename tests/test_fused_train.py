@@ -118,6 +118,97 @@ def test_fused_train_matches_flat(code_name, n_iter, dec_type, sharing):
         np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
 
 
+def test_fused_train_hbm_store_grad_parity_fast():
+    """Fast-lane smoke for the big-code HBM-streamed mode (round 4): message
+    state + adjoint carry live in HBM and stream per degree-class chunk; the
+    tiny relift forces store_space='hbm' so values AND grads stay pinned to
+    the XLA path in the default lane."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=2),
+        matmul_precision="highest"))
+    rng = np.random.default_rng(0)
+    params = {k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(8, g.N, 8)).astype(np.float32) * 4)
+    bits = jnp.zeros((8, g.N * 8), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing="roll", store_space="hbm", bt=8)
+    assert ft.meta.hbm_store and len(ft.meta.chunks) >= 1
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    np.testing.assert_allclose(
+        np.asarray(ft.apply(cn_w, ucn_w, vn_w, llr)),
+        np.asarray(dec.apply(params, llr)), atol=2e-5)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=[0, 1, 2])
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=[0, 1, 2])
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+@pytest.mark.parametrize("code_name,n_iter,dec_type,sharing", FAST_CASES)
+def test_fused_train_hbm_store_matches_flat(code_name, n_iter, dec_type, sharing):
+    """Full-size HBM-streamed training parity (values + grads) vs the XLA
+    flat path, forced onto small codes via store_space='hbm'."""
+    dec, _, params, llr, bits = _setup(code_name, n_iter, dec_type, sharing)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing="roll", store_space="hbm", bt=16)
+    assert ft.meta.hbm_store
+    coeffs = list(range(n_iter))
+
+    o_flat = dec.apply(params, llr)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    o_fused = ft.apply(cn_w, ucn_w, vn_w, llr)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_flat), atol=2e-5)
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=coeffs)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=coeffs)
+
+    lf, gf = jax.value_and_grad(loss_flat)(params)
+    lk, gk = jax.value_and_grad(loss_fused)(params)
+    assert abs(float(lf) - float(lk)) < 1e-6
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
+
+
+def test_fused_decode_hbm_bitexact_vs_vmem():
+    """HBM-streamed decode (store_msgs=False, one carry slot) is bit-identical
+    to the VMEM-resident fused decode."""
+    code = get_code("nr_bg2_set0_z16")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)  # relift: cheap interpret
+    cfg = BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        matmul_precision="highest")
+    dec = BoostedNeuralDecoder(g, cfg)
+    params = dec.init_params()
+    rng = np.random.default_rng(3)
+    llr = jnp.asarray(rng.normal(size=(8, g.N, 8)).astype(np.float32) * 4)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    kw = dict(interpret=True, routing="roll", bt=8,
+              store_msgs=False, stream_outputs=False)
+    o_vmem = FusedTrainDecoder.from_decoder(dec, store_space="vmem", **kw).apply(
+        cn_w, ucn_w, vn_w, llr)
+    o_hbm = FusedTrainDecoder.from_decoder(dec, store_space="hbm", **kw).apply(
+        cn_w, ucn_w, vn_w, llr)
+    np.testing.assert_array_equal(np.asarray(o_hbm), np.asarray(o_vmem))
+
+
 def test_layout_covers_all_edges():
     code = get_code("nr_bg2_set0_z16")
     g = TannerGraph.from_basegraph(code.basegraph, code.Z)
