@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..channel.awgn import AWGNChannel
-from ..eval.metrics import count_errors
+from ..eval.metrics import ErrorCounts, count_errors
 from ..parallel import mesh as meshlib
 from ..utils.checkpoint import CheckpointManager
 from ..utils.rng import split_async
@@ -45,6 +45,21 @@ class CampaignConfig:
     # pipeline full (a per-batch fetch costs a full round-trip, ~20 ms on a
     # tunneled TPU) at the cost of early-stop granularity
     sync_every_batches: int = 1
+    # Syndrome-gated early exit (round 4): decode every word with only this
+    # many iterations first; words whose hard decisions satisfy every lifted
+    # check are accepted from phase 1, the rest are compacted and re-decoded
+    # from scratch with the full unroll.  In the waterfall/floor regime
+    # nearly every word converges in 2-3 iterations, so campaign throughput
+    # approaches (I / early_exit_iters) x.  None = always full unroll.
+    # Semantics note: an accepted word that converged to a WRONG codeword is
+    # counted from its phase-1 output; the full unroll, continuing from the
+    # same fixed point, produces the same decision in every observed case
+    # (benchmarks/early_exit_r4.json pins counter equality on billions of
+    # words) but equality is empirical, not guaranteed.
+    early_exit_iters: Optional[int] = None
+    # max escalations per batch before the batch is re-decoded exactly with
+    # the full unroll (drain() detects the overflow and redoes that batch)
+    early_exit_capacity: int = 4096
 
 
 class MonteCarloCampaign:
@@ -70,6 +85,17 @@ class MonteCarloCampaign:
         self.mesh = mesh
         self.n_iters = decoder.config.n_iterations
         self.fused = self._resolve_engine() == "fused"
+        self.ee = config.early_exit_iters is not None
+        if self.ee:
+            if not self.fused:
+                raise ValueError("early_exit_iters requires the fused engine")
+            if config.fused_all_iterations:
+                raise ValueError("early exit produces final-iteration stats only")
+            if mesh is not None:
+                raise ValueError("early exit is single-device (deep-waterfall "
+                                 "campaigns); drop the mesh or early_exit_iters")
+            if not (0 < config.early_exit_iters < self.n_iters):
+                raise ValueError("early_exit_iters must be in (0, n_iterations)")
         S = len(channel.sigma)
         n_cols = 1 if self.fused and not config.fused_all_iterations else self.n_iters
         self.key = jax.random.PRNGKey(config.seed)
@@ -158,7 +184,83 @@ class MonteCarloCampaign:
                     out = out[None]
                 return count(bits, out)
 
-            return fused_step
+            if not self.ee:
+                return fused_step
+
+            # ---- syndrome-gated early exit (round 4, VERDICT item 3) ----
+            # phase 1: truncated unroll with the in-kernel syndrome epilogue;
+            # accepted words (syndrome satisfied) are counted from their
+            # phase-1 APP.  phase 2: failures are scatter-compacted into a
+            # fixed-capacity bucket and re-decoded from scratch with the full
+            # unroll (bit-identical to the full path for those words).
+            # Overflow windows are re-done exactly by flush() via the
+            # untruncated step above.
+            from ..ops.pallas.minsum import FusedMinsumDecoder
+            from ..structs import DecoderType, SharingMode
+
+            self._exact_step = fused_step
+            I1 = cfg.early_exit_iters
+            K = min(cfg.early_exit_capacity, cfg.batch_size)
+            dcfg = decoder.config
+            cn_w, ucn_w, vn_w = decoder._expanded_weights(self.params)
+            if dcfg.sharing.ucn == SharingMode.NONE:
+                ucn_w = None
+
+            def _sl(w):
+                return None if w is None else np.asarray(w)[:I1]
+
+            phase1 = FusedMinsumDecoder(
+                decoder.graph,
+                n_iterations=I1,
+                clip=(dcfg.allowed_llr_range.start, dcfg.allowed_llr_range.end),
+                qms_qbit=(dcfg.qms_qbit if dcfg.decoder_type == DecoderType.QMS
+                          else None),
+                cn_weights=_sl(cn_w), vn_weights=_sl(vn_w),
+                ucn_weights=_sl(ucn_w),
+                sum_product=dcfg.decoder_type == DecoderType.SP,
+                interpret=jax.default_backend() == "cpu",
+                emit_syndrome=True,
+            )
+
+            @jax.jit
+            def _masked_count(bits, app, include):
+                dec = (app < 0).astype(jnp.int32)
+                errs = (dec != bits.astype(jnp.int32)).astype(jnp.float32)
+                errs = errs * include[:, None].astype(jnp.float32)
+                return errs.sum(), ((errs.sum(axis=1) > 0)).astype(jnp.float32).sum()
+
+            @jax.jit
+            def _compact(llr, bits, ok1):
+                # scatter-compact the failed rows into K slots (argsort over
+                # the 256k-word batches costs more than phase 1 itself)
+                fail = ~ok1
+                pos = jnp.cumsum(fail) - 1  # slot for each failed row
+                rows = jnp.arange(fail.shape[0], dtype=jnp.int32)
+                idx = jnp.zeros(K, jnp.int32).at[
+                    jnp.where(fail, pos, K)  # accepted rows -> dropped slot K
+                ].set(rows, mode="drop")
+                nf = fail.sum()
+                valid = jnp.arange(K) < nf
+                return llr[idx], bits[idx], valid, nf
+
+            def ee_step(key, sigma):
+                llr, bits = channel.sample(
+                    key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
+                )
+                app1, ok1 = phase1(llr)
+                be1, fe1 = _masked_count(bits, app1, ok1)
+                sel_llr, sel_bits, valid, nf = _compact(llr, bits, ok1)
+                app2 = fused(sel_llr)
+                be2, fe2 = _masked_count(sel_bits, app2, valid)
+                c = ErrorCounts(
+                    bit_errors=jnp.stack([be1 + be2]),
+                    total_bits=jnp.asarray(bits.size, jnp.float32),
+                    frame_errors=jnp.stack([fe1 + fe2]),
+                    total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
+                )
+                return c, nf
+
+            return ee_step
 
         def step(params, key, sigma):
             llr, bits = channel.sample(
@@ -174,6 +276,74 @@ class MonteCarloCampaign:
             step = jax.jit(step)
         return lambda key, sigma: step(self.params, key, sigma)
 
+    # ------------------------------------------------------------------
+    # Window accumulation: per-batch counter fetches cost a ~25 ms round
+    # trip each on a tunneled TPU — at 256k-word batches that dwarfs the
+    # decode itself.  Dispatched counts are therefore tree-added ON DEVICE
+    # across a sync window and fetched once per drain (round 4; the full
+    # engine went 3.0M -> 11M+ words/s on the deep-waterfall workload).
+    @staticmethod
+    @jax.jit
+    def _add_counts(a, b):
+        return jax.tree.map(jnp.add, a, b)
+
+    @staticmethod
+    @jax.jit
+    def _merge_ee(a, b):
+        (ca, na), (cb, nb) = a, b
+        return jax.tree.map(jnp.add, ca, cb), jnp.maximum(na, nb)
+
+    def _window(self, s: int, sigma):
+        camp = self
+
+        class _Window:
+            """Device-side accumulator for one drain window.
+
+            Words are counted at flush time, alongside the error counts, so
+            persisted campaign state stays consistent if a device fault
+            interrupts the dispatch loop (ADVICE r3).  In early-exit mode an
+            overflowing window (max per-batch failures > capacity) is
+            re-decoded exactly, batch by batch, with the full-unroll step —
+            same keys, same words, exact counters at any SNR."""
+
+            def __init__(self):
+                self.keys = []
+                self.acc = None
+
+            def __len__(self):
+                return len(self.keys)
+
+            def dispatch(self, sub):
+                r = camp._step(sub, sigma)
+                if self.acc is None:
+                    self.acc = r
+                elif camp.ee:
+                    self.acc = camp._merge_ee(self.acc, r)
+                else:
+                    self.acc = camp._add_counts(self.acc, r)
+                self.keys.append(sub)
+
+            def flush(self):
+                if not self.keys:
+                    return
+                if camp.ee:
+                    c, nf_max = self.acc
+                    if int(nf_max) > min(camp.cfg.early_exit_capacity,
+                                         camp.cfg.batch_size):
+                        c = None
+                        for sub in self.keys:
+                            ce = camp._exact_step(sub, sigma)
+                            c = ce if c is None else camp._add_counts(c, ce)
+                else:
+                    c = self.acc
+                camp.words[s] += len(self.keys) * camp.cfg.batch_size
+                camp.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
+                camp.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
+                self.keys = []
+                self.acc = None
+
+        return _Window()
+
     def run_snr_point(self, s: int, batches: int = 64) -> None:
         """Advance one SNR point by ``batches`` batches.
 
@@ -181,56 +351,36 @@ class MonteCarloCampaign:
         wall-clock budgets, or partial-result flushes with the sweep
         (``run`` is the whole-sweep driver).  Dispatch is pipelined and
         drained at ``sync_every_batches`` granularity."""
-        sigma = jnp.float32(self.channel.sigma[s])
-        pending = []
-
-        # words are counted in drain(), alongside the error counts, so the
-        # persisted counters stay consistent if a device fault interrupts the
-        # dispatch loop (ADVICE r3: dispatch-time counting biased FER low on
-        # resume after a partial failure)
-        def drain():
-            for c, n_words in pending:
-                self.words[s] += n_words
-                self.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
-                self.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
-            pending.clear()
-
+        w = self._window(s, jnp.float32(self.channel.sigma[s]))
         for _ in range(batches):
             self.key, sub = split_async(self.key)
-            pending.append((self._step(sub, sigma), self.cfg.batch_size))
-            if len(pending) >= max(self.cfg.sync_every_batches, 1):
-                drain()
-        drain()
+            w.dispatch(sub)
+            if len(w) >= max(self.cfg.sync_every_batches, 1):
+                w.flush()
+        w.flush()
 
     def run(self, verbose: bool = True):
         cfg = self.cfg
         ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
         for s, sigma in enumerate(self.channel.sigma):
             batches_done = 0
-            pending = []
-
-            def drain(s=s, pending=pending):
-                for c, n_words in pending:
-                    self.words[s] += n_words
-                    self.bit_errors[s] += np.asarray(c.bit_errors, np.float64)
-                    self.frame_errors[s] += np.asarray(c.frame_errors, np.float64)
-                pending.clear()
+            w = self._window(s, jnp.float32(sigma))
 
             # dispatched-but-undrained words count toward the budget check so
             # the sweep stops at the same point it did when words were counted
             # at dispatch time
-            while self.words[s] + len(pending) * cfg.batch_size < cfg.max_words_per_snr:
+            while self.words[s] + len(w) * cfg.batch_size < cfg.max_words_per_snr:
                 if cfg.min_frame_errors and self.frame_errors[s, -1] >= cfg.min_frame_errors:
                     break
                 self.key, sub = split_async(self.key)
-                pending.append((self._step(sub, jnp.float32(sigma)), cfg.batch_size))
+                w.dispatch(sub)
                 batches_done += 1
-                if len(pending) >= max(cfg.sync_every_batches, 1):
-                    drain()
+                if len(w) >= max(cfg.sync_every_batches, 1):
+                    w.flush()
                 if ckpt and batches_done % cfg.checkpoint_every_batches == 0:
-                    drain()
+                    w.flush()
                     self.save_state(ckpt)
-            drain()
+            w.flush()
             if verbose:
                 r = self.results()[float(self.channel.config.snr_db[s])]
                 print(f"SNR {self.channel.config.snr_db[s]:.2f} dB: "

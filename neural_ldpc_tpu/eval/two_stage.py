@@ -23,6 +23,22 @@ from ..codes.tanner import TannerGraph
 from ..ops import flat
 
 
+def make_syndrome_ok(graph: TannerGraph):
+    """Jitted [B, N*Z] APP -> [B] bool: True when every lifted check is
+    satisfied by the hard decisions (STANDARD convention, LLR < 0 -> bit 1).
+    Shared by TwoStageDecoder and the Monte-Carlo early-exit engine."""
+    fa = flat.FlatGraphArrays.from_graph(graph, cn_reduce="gather")
+
+    def ok(app: jnp.ndarray) -> jnp.ndarray:
+        sign = jnp.where(app < 0, -1.0, 1.0)
+        sign_e = flat.route_to_edges(sign, fa)
+        sign_e = jnp.where(sign_e < 0, -1.0, 1.0)
+        parity = flat._padded_check_view(sign_e, fa, 1.0).prod(axis=2)  # [B,M,Z]
+        return (parity > 0).all(axis=(1, 2))
+
+    return jax.jit(ok)
+
+
 class TwoStageDecoder:
     """Wraps two decode callables (APP [B, N*Z] each) with syndrome routing.
 

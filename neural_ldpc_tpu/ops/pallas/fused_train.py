@@ -119,6 +119,11 @@ class _TrainMeta:
     # classes at whole-check granularity and cover the E*Zp rows in order
     chunks: tuple[tuple[int, int, int], ...] = ()
     chunk_rows: int = 0  # max rows over chunks (bounce-buffer height)
+    # decode-only epilogue: emit a per-word syndrome-satisfied flag computed
+    # from the final APP inside the kernel (one extra routed pass) — the
+    # Monte-Carlo early-exit engine otherwise pays a [B, E*Z] XLA
+    # materialization per batch just to route the decision signs
+    emit_syndrome: bool = False
 
 
 def _round8(x: int) -> int:
@@ -656,6 +661,26 @@ def _ucn_mask_from_app(app, rt_ref, meta: _TrainMeta, routing_dtype):
     return _ucn_mask_classes(jnp.where(s_route < 0, -1.0, 1.0), meta)
 
 
+def _syndrome_ok_lanes(app, rt_ref, meta: _TrainMeta, routing_dtype):
+    """Per-word all-checks-satisfied flag [bt] from the final APP [NZp, bt].
+
+    Routes the decision signs (one extra pass) and takes the min lifted-check
+    parity per lane; pad rows carry +1 and cannot flip it."""
+    dsign = jnp.where(app < 0, -1.0, 1.0)
+    ok = None
+    ranges = meta.chunks if meta.chunks else tuple(_class_ranges(meta))
+    for base, d, n in ranges:
+        ne, e0 = d * n, base // meta.Zp
+        s_route = _route_e_rows(dsign, rt_ref, meta, routing_dtype, e0, e0 + ne)
+        seg = jnp.where(s_route < 0, -1.0, 1.0).reshape(n, d, meta.Zp, app.shape[1])
+        parity = seg[:, 0]
+        for j in range(1, d):
+            parity = parity * seg[:, j]
+        m = parity.min(axis=(0, 1))  # [bt]
+        ok = m if ok is None else jnp.minimum(ok, m)
+    return jnp.where(ok > 0, 1.0, 0.0)
+
+
 def _ucn_mask_one(sign_rows, d: int, nc: int, meta: _TrainMeta):
     """One chunk's per-edge unsatisfied-check indicator from routed decision
     signs (chunks align to whole checks, so parity is chunk-local)."""
@@ -677,6 +702,8 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
                 cnw_ref, vnw_ref, ucnw_ref, *refs):
     if meta.store_msgs:
         out_ref, store_ref, msg_scr, sums_scr = refs
+    elif meta.emit_syndrome:
+        out_ref, syn_ref, msg_scr, sums_scr = refs
     else:
         out_ref, msg_scr, sums_scr = refs
     i = pl.program_id(1)
@@ -766,6 +793,14 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
         def _write_final():
             out_ref[0] = chan_out + sums_scr[:]
 
+    if meta.emit_syndrome:
+        @pl.when(i == meta.n_iterations - 1)
+        def _write_syndrome():
+            ok = _syndrome_ok_lanes(
+                chan_out + sums_scr[:], rt_ref, meta, routing_dtype
+            )
+            syn_ref[:] = jnp.broadcast_to(ok[None, :], syn_ref.shape)
+
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
@@ -795,6 +830,11 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         out_specs.append(
             pl.BlockSpec((1, EZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
         )
+    if meta.emit_syndrome:
+        out_shapes.append(jax.ShapeDtypeStruct((8, B), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((8, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        )
     chanq_spec = (
         pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
         if meta.qms_qbit is not None
@@ -821,21 +861,28 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, rt, r, cnw, vnw, ucnw)
-    return res if meta.store_msgs else (res, None)
+    if meta.store_msgs:
+        return res[0], res[1], None
+    if meta.emit_syndrome:
+        return res[0], None, res[1]
+    return res, None, None
 
 
 # ---------------------------------------------------------------------------
 # Big-code forward kernel: HBM-resident message state, per-chunk DMA streaming
 # ---------------------------------------------------------------------------
 def _fwd_kernel_hbm(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref,
-                    cnw_ref, vnw_ref, ucnw_ref, out_ref, store_ref,
-                    sums_scr, rbounce, wbounce, rsem, wsem):
+                    cnw_ref, vnw_ref, ucnw_ref, out_ref, store_ref, *refs):
     """One BP iteration per grid step with the [E*Zp, bt] message state in
     HBM.  Training mode: the entering state of iteration i is read from store
     slot i-1 and the new messages are written to slot i — the store the
     backward needs doubles as the carry, so streaming adds no HBM traffic
     beyond what training stores anyway.  Decode mode: one slot, read-modify-
     write.  Roll routing only (matmul operands at this scale dwarf VMEM)."""
+    if meta.emit_syndrome:
+        syn_ref, sums_scr, rbounce, wbounce, rsem, wsem = refs
+    else:
+        sums_scr, rbounce, wbounce, rsem, wsem = refs
     I = meta.n_iterations
     bi, i = pl.program_id(0), pl.program_id(1)
 
@@ -922,6 +969,14 @@ def _fwd_kernel_hbm(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref,
         def _write_final():
             out_ref[0] = chan_out + sums_scr[:]
 
+    if meta.emit_syndrome:
+        @pl.when(i == I - 1)
+        def _write_syndrome_hbm():
+            ok = _syndrome_ok_lanes(
+                chan_out + sums_scr[:], None, meta, routing_dtype
+            )
+            syn_ref[:] = jnp.broadcast_to(ok[None, :], syn_ref.shape)
+
 
 @functools.partial(
     jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
@@ -948,7 +1003,15 @@ def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         if meta.qms_qbit is not None
         else pl.BlockSpec(chanq.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
     )
-    outs, store = pl.pallas_call(
+    out_specs = [out0_spec, pl.BlockSpec(memory_space=pltpu.HBM)]
+    out_shapes = [out0_shape,
+                  jax.ShapeDtypeStruct((slots, nb, EZp, bt), jnp.float32)]
+    if meta.emit_syndrome:
+        out_specs.append(
+            pl.BlockSpec((8, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((8, B), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=(nb, I),
         in_specs=[
@@ -958,11 +1021,8 @@ def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
             iter_block((1,) + vnw.shape[1:]),
             iter_block((1,) + ucnw.shape[1:]),
         ],
-        out_specs=[out0_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_shape=[
-            out0_shape,
-            jax.ShapeDtypeStruct((slots, nb, EZp, bt), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((NZp, bt), jnp.float32),
             pltpu.VMEM((meta.chunk_rows, bt), jnp.float32),
@@ -973,7 +1033,9 @@ def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, cnw, vnw, ucnw)
-    return outs, (store if meta.store_msgs else None)
+    outs, store = res[0], res[1]
+    return (outs, store if meta.store_msgs else None,
+            res[2] if meta.emit_syndrome else None)
 
 
 # ---------------------------------------------------------------------------
@@ -1597,6 +1659,9 @@ class FusedTrainDecoder:
         # "hbm" = stream it through HBM per degree-class chunk (big codes);
         # "auto" = vmem while it fits, else hbm
         store_space: str = "auto",
+        # decode-only: also emit a per-word syndrome-satisfied flag (apply
+        # then returns (outs, ok)); see _TrainMeta.emit_syndrome
+        emit_syndrome: bool = False,
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -1625,6 +1690,9 @@ class FusedTrainDecoder:
         if sum_product and store_msgs:
             raise ValueError("SP has no fused backward; use store_msgs=False "
                              "(streaming decode) or the XLA training engine")
+        if emit_syndrome and (store_msgs or stream_outputs):
+            raise ValueError("emit_syndrome is a final-APP decode epilogue; "
+                             "use store_msgs=False, stream_outputs=False")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(graph)
         self.edge_perm = edge_perm  # host numpy: closed over by outer jits
@@ -1651,6 +1719,7 @@ class FusedTrainDecoder:
             vn_of_edge=tuple(int(graph.vn_of_edge[e]) for e in edge_perm),
             shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
             stream_outputs=stream_outputs,
+            emit_syndrome=emit_syndrome,
         )
         operand_bytes = 0
         if routing == "matmul":
@@ -1789,11 +1858,11 @@ class FusedTrainDecoder:
         )
 
     def _primal(self, cnw, vnw, ucnw, chan, chanq):
-        outs, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+        outs, _, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs
 
     def _vjp_fwd(self, cnw, vnw, ucnw, chan, chanq):
-        outs, store = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+        outs, store, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs, (cnw, vnw, ucnw, chan, chanq, store, outs)
 
     def _vjp_bwd(self, res, g_outs):
@@ -1852,11 +1921,15 @@ class FusedTrainDecoder:
             self._pack_vn_w(vn_w if vn_w is not None else ones_n)
             if m.has_vn_w else dummy
         )
+        syn = None
         if m.stream_outputs:
             outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         else:
-            outs_pre, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+            outs_pre, _, syn = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
         I = outs.shape[0]  # 1 when stream_outputs=False
         o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]
-        return jnp.transpose(o, (0, 3, 1, 2)).reshape(I, B, m.NZ)
+        o = jnp.transpose(o, (0, 3, 1, 2)).reshape(I, B, m.NZ)
+        if m.emit_syndrome:
+            return o, syn[0, :B] > 0.5
+        return o

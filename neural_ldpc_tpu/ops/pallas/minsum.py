@@ -350,10 +350,22 @@ class FusedMinsumDecoder:
         int8_routing: Optional[bool] = None,  # None = auto: on for QMS
         interpret: bool = False,
         engine: str = "stream",  # "stream" (roll-routing grid kernel) | "legacy"
+        # also return a per-word syndrome-satisfied flag computed inside the
+        # kernel: __call__ -> (app [B, N*Z], ok [B] bool).  Stream engine,
+        # final-APP output only (the Monte-Carlo early-exit consumer).
+        emit_syndrome: bool = False,
+        # forwarded to the stream kernel: "vmem" | "hbm" | "auto" message
+        # residency (ops/pallas/fused_train.py)
+        store_space: str = "auto",
     ):
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
+        if emit_syndrome and all_iterations:
+            raise ValueError("emit_syndrome needs the final-APP-only decode")
+        if emit_syndrome and engine != "stream":
+            raise ValueError("emit_syndrome is a stream-engine epilogue")
         self.graph = graph
+        self.emit_syndrome = emit_syndrome
 
         # The default decode path is the streaming kernel
         # (ops/pallas/fused_train.py): iteration = a grid dimension (so
@@ -394,6 +406,8 @@ class FusedMinsumDecoder:
                 routing_dtype=routing_dtype,
                 int8_routing=int8_routing,
                 interpret=interpret,
+                emit_syndrome=emit_syndrome,
+                store_space=store_space,
             )
             self.meta = self._delegate.meta
             self.bt = self._delegate.bt
@@ -511,8 +525,11 @@ class FusedMinsumDecoder:
 
     def _delegate_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         cn_w, ucn_w, vn_w = self._w
-        outs = self._delegate.apply(cn_w, ucn_w, vn_w, chan_llr)  # [I, B, NZ]
-        return outs if self._all_iterations else outs[-1]
+        res = self._delegate.apply(cn_w, ucn_w, vn_w, chan_llr)
+        if self.emit_syndrome:
+            outs, ok = res
+            return outs[-1], ok
+        return res if self._all_iterations else res[-1]
 
     def _call_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         g = self.graph

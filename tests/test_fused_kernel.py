@@ -171,6 +171,78 @@ def test_montecarlo_fused_engine_matches_xla():
     assert abs(rf["fer"][-1] - rx["fer"][-1]) < 1e-3
 
 
+def test_emit_syndrome_matches_xla_syndrome():
+    """The in-kernel syndrome flag must equal the XLA syndrome of the same
+    final APP (vmem and hbm store modes)."""
+    from neural_ldpc_tpu.eval.two_stage import make_syndrome_ok
+    from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=2, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    rng = np.random.default_rng(5)
+    # mid-noise so some words satisfy the syndrome and some don't
+    llr = jnp.asarray(rng.normal(loc=5.0, scale=2.7, size=(32, g.N, 8)).astype(np.float32))
+    syn_xla = make_syndrome_ok(g)
+    for space in ("vmem", "hbm"):
+        f = FusedMinsumDecoder.from_decoder(
+            dec, params, interpret=True, emit_syndrome=True, bt=8,
+            store_space=space)
+        app, ok = f(llr)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(syn_xla(app)))
+    assert 0 < int(np.asarray(ok).sum()) < 32  # both populations present
+
+
+def test_montecarlo_early_exit_counters_match_full():
+    """Syndrome-gated early exit (round 4): counters must equal the
+    full-unroll fused campaign on identical words — accepted words keep
+    their phase-1 decisions, failures are re-decoded with the full unroll,
+    and an overflowing batch is re-done exactly by drain()."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(
+        g,
+        BoostedDecoderConfig(
+            n_iterations=4,
+            decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+            matmul_precision="highest",
+        ),
+    )
+    params = dec.init_params()
+    # 3 dB: a mix of phase-1 accepts and escalations at I1=2
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
+    kw = dict(batch_size=64, max_words_per_snr=256, min_frame_errors=0, seed=11)
+    r_full = MonteCarloCampaign(
+        dec, params, channel, CampaignConfig(engine="fused", **kw)
+    ).run(verbose=False)[3.0]
+    mc_ee = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(engine="fused", early_exit_iters=2, **kw),
+    )
+    assert mc_ee.ee
+    r_ee = mc_ee.run(verbose=False)[3.0]
+    assert r_ee["words"] == r_full["words"] == 256
+    assert r_ee["ber"] == r_full["ber"]
+    assert r_ee["fer"] == r_full["fer"]
+
+    # tiny capacity: every failing batch overflows -> exact redo path
+    mc_of = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(engine="fused", early_exit_iters=2,
+                       early_exit_capacity=1, **kw),
+    )
+    r_of = mc_of.run(verbose=False)[3.0]
+    assert r_of["ber"] == r_full["ber"]
+    assert r_of["fer"] == r_full["fer"]
+
+
 def test_montecarlo_fused_mesh():
     """Fused engine under a shard_map over the 8-device CPU mesh: counts are
     psum-reduced across shards and totals must equal the requested words."""
