@@ -171,18 +171,44 @@ class MonteCarloCampaign:
 
             count = jax.jit(partial(count_errors, convention=convention))
 
-            def fused_step(key, sigma):
-                # composed from separately-jitted stages on purpose: inlining
-                # the pallas_call into one outer jit lets XLA try to pin the
-                # kernel's whole [NZ, B] output in VMEM (scoped-vmem OOM on
-                # mid-sized batches); at a jit boundary it stays in HBM
-                llr, bits = channel.sample(
-                    key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
+            # all-zero final-only campaigns ride the stats-only kernel in a
+            # SINGLE jit per batch (round 4): the APP never leaves the kernel
+            # and the whole sample->decode->count chain is one dispatch —
+            # measured 4.8M -> 13M+ words/s on the wman deep-waterfall
+            # workload (the old jit-boundary composition existed to dodge a
+            # round-1 scoped-vmem OOM that the stream kernel does not have)
+            stats_mode = cfg.all_zero and not cfg.fused_all_iterations
+            nz_bits = float(self.decoder.graph.N * self.decoder.graph.Z)
+
+            if stats_mode:
+                fused_stats = FusedMinsumDecoder.from_decoder(
+                    self.decoder, self.params, emit_stats=True,
+                    interpret=jax.default_backend() == "cpu",
                 )
-                out = fused(llr)  # [B, N*Z] final APP, or [I, B, N*Z]
-                if not cfg.fused_all_iterations:
-                    out = out[None]
-                return count(bits, out)
+
+                @jax.jit
+                def fused_step(key, sigma):
+                    llr, _ = channel.sample(
+                        key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), True
+                    )
+                    _, be, fe = fused_stats(llr)
+                    return ErrorCounts(
+                        bit_errors=jnp.stack([be.sum()]),
+                        total_bits=jnp.asarray(cfg.batch_size * nz_bits, jnp.float32),
+                        frame_errors=jnp.stack([fe.sum().astype(jnp.float32)]),
+                        total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
+                    )
+            else:
+                def fused_step(key, sigma):
+                    # composed from separately-jitted stages: inlining keeps
+                    # the full [I, NZ, B] all-iterations stream off VMEM
+                    llr, bits = channel.sample(
+                        key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), cfg.all_zero
+                    )
+                    out = fused(llr)  # [B, N*Z] final APP, or [I, B, N*Z]
+                    if not cfg.fused_all_iterations:
+                        out = out[None]
+                    return count(bits, out)
 
             if not self.ee:
                 return fused_step
@@ -209,9 +235,7 @@ class MonteCarloCampaign:
             def _sl(w):
                 return None if w is None else np.asarray(w)[:I1]
 
-            phase1 = FusedMinsumDecoder(
-                decoder.graph,
-                n_iterations=I1,
+            p1_kw = dict(
                 clip=(dcfg.allowed_llr_range.start, dcfg.allowed_llr_range.end),
                 qms_qbit=(dcfg.qms_qbit if dcfg.decoder_type == DecoderType.QMS
                           else None),
@@ -219,18 +243,9 @@ class MonteCarloCampaign:
                 ucn_weights=_sl(ucn_w),
                 sum_product=dcfg.decoder_type == DecoderType.SP,
                 interpret=jax.default_backend() == "cpu",
-                emit_syndrome=True,
             )
 
-            @jax.jit
-            def _masked_count(bits, app, include):
-                dec = (app < 0).astype(jnp.int32)
-                errs = (dec != bits.astype(jnp.int32)).astype(jnp.float32)
-                errs = errs * include[:, None].astype(jnp.float32)
-                return errs.sum(), ((errs.sum(axis=1) > 0)).astype(jnp.float32).sum()
-
-            @jax.jit
-            def _compact(llr, bits, ok1):
+            def _compact_idx(ok1):
                 # scatter-compact the failed rows into K slots (argsort over
                 # the 256k-word batches costs more than phase 1 itself)
                 fail = ~ok1
@@ -241,7 +256,47 @@ class MonteCarloCampaign:
                 ].set(rows, mode="drop")
                 nf = fail.sum()
                 valid = jnp.arange(K) < nf
-                return llr[idx], bits[idx], valid, nf
+                return idx, valid, nf
+
+            def _counts(be, fe):
+                return ErrorCounts(
+                    bit_errors=jnp.stack([be]),
+                    total_bits=jnp.asarray(cfg.batch_size * nz_bits, jnp.float32),
+                    frame_errors=jnp.stack([fe]),
+                    total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
+                )
+
+            if stats_mode:
+                phase1 = FusedMinsumDecoder(
+                    decoder.graph, n_iterations=I1, emit_stats=True, **p1_kw
+                )
+
+                @jax.jit
+                def ee_step(key, sigma):
+                    llr, _ = channel.sample(
+                        key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), True
+                    )
+                    ok1, be1v, fe1v = phase1(llr)
+                    be1 = (be1v * ok1).sum()
+                    fe1 = (fe1v & ok1).sum().astype(jnp.float32)
+                    idx, valid, nf = _compact_idx(ok1)
+                    _, be2v, fe2v = fused_stats(llr[idx])
+                    be2 = (be2v * valid).sum()
+                    fe2 = (fe2v & valid).sum().astype(jnp.float32)
+                    return _counts(be1 + be2, fe1 + fe2), nf
+
+                return ee_step
+
+            phase1 = FusedMinsumDecoder(
+                decoder.graph, n_iterations=I1, emit_syndrome=True, **p1_kw
+            )
+
+            @jax.jit
+            def _masked_count(bits, app, include):
+                dec = (app < 0).astype(jnp.int32)
+                errs = (dec != bits.astype(jnp.int32)).astype(jnp.float32)
+                errs = errs * include[:, None].astype(jnp.float32)
+                return errs.sum(), ((errs.sum(axis=1) > 0)).astype(jnp.float32).sum()
 
             def ee_step(key, sigma):
                 llr, bits = channel.sample(
@@ -249,16 +304,10 @@ class MonteCarloCampaign:
                 )
                 app1, ok1 = phase1(llr)
                 be1, fe1 = _masked_count(bits, app1, ok1)
-                sel_llr, sel_bits, valid, nf = _compact(llr, bits, ok1)
-                app2 = fused(sel_llr)
-                be2, fe2 = _masked_count(sel_bits, app2, valid)
-                c = ErrorCounts(
-                    bit_errors=jnp.stack([be1 + be2]),
-                    total_bits=jnp.asarray(bits.size, jnp.float32),
-                    frame_errors=jnp.stack([fe1 + fe2]),
-                    total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
-                )
-                return c, nf
+                idx, valid, nf = _compact_idx(ok1)
+                app2 = fused(llr[idx])
+                be2, fe2 = _masked_count(bits[idx], app2, valid)
+                return _counts(be1 + be2, fe1 + fe2), nf
 
             return ee_step
 

@@ -36,7 +36,8 @@ Kernel generality over ops/pallas/minsum.py (round-1 VERDICT items 4/8):
     all-iterations decoding keeps the full batch tile.
 
 Supports MS and QMS (with the exact int8 MXU routing trick) plus UCN weight
-splits and VN input weights; SP training stays on the XLA path.
+splits and VN input weights; SP training rides a tanh-domain
+backward (round 4).
 """
 
 from __future__ import annotations
@@ -83,7 +84,7 @@ class _TrainMeta:
     has_ucn: bool
     int8_routing: bool
     store_msgs: bool
-    sum_product: bool = False  # forward-only (SP training stays on XLA)
+    sum_product: bool = False  # tanh-domain CN update (fwd + custom bwd)
     # VN<->edge routing strategy: "matmul" = one-hot MXU operands (memory
     # O(N*E*Z^2) — the round-1 design); "roll" = per-edge sublane rotates +
     # accumulates on the VPU (no operand, exact f32, memory O(E*Z)).  The
@@ -124,6 +125,11 @@ class _TrainMeta:
     # Monte-Carlo early-exit engine otherwise pays a [B, E*Z] XLA
     # materialization per batch just to route the decision signs
     emit_syndrome: bool = False
+    # decode-only, ALL-ZERO-codeword campaigns: the kernel's only output is
+    # the per-word stats row [8, B] (row 0 = syndrome ok, 1 = bit errors,
+    # 2 = frame error) — the [NZp, B] APP never leaves VMEM, saving the
+    # dominant HBM write+read per Monte-Carlo batch
+    emit_stats: bool = False
 
 
 def _round8(x: int) -> int:
@@ -637,6 +643,78 @@ def _cn_minsum_fwd_bwd_one(v2c_cls, d, n, meta: _TrainMeta, g_extrmin_fn):
     return g_v2c, g_cnw, g_ucnw
 
 
+def _cn_sumproduct_fwd_bwd_one(v2c_cls, d, n, meta: _TrainMeta, g_fn):
+    """Recompute ONE degree class's extrinsic sum-product AND backpropagate
+    through it (round 4: SP training joins the fused tier).
+
+    Forward (matches _cn_sumproduct_classes_one):
+      t_j = tanh(v2c_j / 2); ext_j = pre_j * suf_j (exclude-self product via
+      sequential prefix/suffix chains); extc = clip(ext, +-(1-eps));
+      out_j = 2*atanh(extc) (log form — Mosaic has no atanh lowering).
+
+    Backward mirrors the chains in reverse:
+      g_extc = g_out * 2 / (1 - extc^2);  g_ext = g_extc * clip_mask
+      g_pre_j = g_ext_j * suf_j;  g_suf_j = g_ext_j * pre_j
+      chain cotangents give g_t, then g_v2c = g_t * (1 - t^2) / 2.
+
+    ``g_fn(out_cls)`` is the post-chain adjoint (same closure as the min-sum
+    path): returns (g_mag [nrows, bt] — gradient w.r.t. |out|, g_cnw,
+    g_ucnw); the signed gradient is g_mag * d|out|/d out with JAX's abs
+    convention (+1 at 0).  The XLA flat path computes the exclude-self
+    product with jnp.cumprod (a log-depth scan), so gradients agree to
+    roundoff, not bitwise — the parity tests' 1e-6/1e-4 tolerances hold."""
+    bt = v2c_cls.shape[1]
+    nrows = d * n * meta.Zp
+    seg = v2c_cls.reshape(n, d, meta.Zp, bt)
+    t = jnp.tanh(0.5 * seg)
+    pre = [None] * d
+    acc = jnp.ones_like(t[:, 0])
+    for j in range(d):
+        pre[j] = acc
+        acc = acc * t[:, j]
+    suf = [None] * d
+    acc = jnp.ones_like(t[:, 0])
+    for j in reversed(range(d)):
+        suf[j] = acc
+        acc = acc * t[:, j]
+    lo_c, hi_c = -1.0 + _SP_EPS, 1.0 - _SP_EPS
+    ext = [pre[j] * suf[j] for j in range(d)]
+    extc = [jnp.clip(ext[j], lo_c, hi_c) for j in range(d)]
+    out_cls = jnp.stack(
+        [jnp.log((1.0 + extc[j]) / (1.0 - extc[j])) for j in range(d)], axis=1
+    ).reshape(nrows, bt)
+
+    g_mag, g_cnw, g_ucnw = g_fn(out_cls)
+
+    gm = g_mag.reshape(n, d, meta.Zp, bt)
+    o = out_cls.reshape(n, d, meta.Zp, bt)
+    g_pre = [None] * d
+    g_suf = [None] * d
+    for j in range(d):
+        g_out_j = gm[:, j] * jnp.where(o[:, j] == 0.0, 1.0,
+                                       jnp.sign(o[:, j]))
+        g_extc_j = g_out_j * 2.0 / (1.0 - extc[j] * extc[j])
+        g_ext_j = g_extc_j * _clip_grad_mask(ext[j], lo_c, hi_c)
+        g_pre[j] = g_ext_j * suf[j]
+        g_suf[j] = g_ext_j * pre[j]
+
+    g_t = [jnp.zeros_like(t[:, 0]) for _ in range(d)]
+    # reverse the prefix chain: pre[j] = pre[j-1] * t[j-1]
+    c = g_pre[d - 1]
+    for j in range(d - 1, 0, -1):
+        g_t[j - 1] = g_t[j - 1] + c * pre[j - 1]
+        c = g_pre[j - 1] + c * t[:, j - 1]
+    # reverse the suffix chain: suf[j] = suf[j+1] * t[j+1]
+    c = g_suf[0]
+    for j in range(d - 1):
+        g_t[j + 1] = g_t[j + 1] + c * suf[j + 1]
+        c = g_suf[j + 1] + c * t[:, j + 1]
+
+    rows = [g_t[j] * 0.5 * (1.0 - t[:, j] * t[:, j]) for j in range(d)]
+    g_v2c = jnp.stack(rows, axis=1).reshape(nrows, bt)
+    return g_v2c, g_cnw, g_ucnw
+
+
 def _ucn_mask_classes(sign_e, meta: _TrainMeta):
     """Per-edge unsatisfied-check indicator from routed decision signs."""
     bt = sign_e.shape[1]
@@ -679,6 +757,17 @@ def _syndrome_ok_lanes(app, rt_ref, meta: _TrainMeta, routing_dtype):
         m = parity.min(axis=(0, 1))  # [bt]
         ok = m if ok is None else jnp.minimum(ok, m)
     return jnp.where(ok > 0, 1.0, 0.0)
+
+
+def _stats_rows(app, rt_ref, meta: _TrainMeta, routing_dtype):
+    """All-zero-campaign per-word stats [8, bt] from the final APP: row 0 =
+    syndrome satisfied, row 1 = bit errors (decisions < 0 on valid rows;
+    pad rows hold 0 and never count), row 2 = frame error."""
+    ok = _syndrome_ok_lanes(app, rt_ref, meta, routing_dtype)
+    bit_err = jnp.sum(jnp.where(app < 0, 1.0, 0.0), axis=0)  # [bt]
+    frame = jnp.where(bit_err > 0, 1.0, 0.0)
+    zero = jnp.zeros_like(ok)
+    return jnp.stack([ok, bit_err, frame] + [zero] * 5, axis=0)
 
 
 def _ucn_mask_one(sign_rows, d: int, nc: int, meta: _TrainMeta):
@@ -786,7 +875,13 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
         msg_scr[:] = new_msg
         sums_scr[:] = _route_n_from_e(new_msg, r_ref, meta, routing_dtype, quantized=True)
     # PRE-clip APP: the final clip is differentiated outside the kernel
-    if meta.stream_outputs:
+    if meta.emit_stats:
+        @pl.when(i == meta.n_iterations - 1)
+        def _write_stats():
+            out_ref[0] = _stats_rows(
+                chan_out + sums_scr[:], rt_ref, meta, routing_dtype
+            )
+    elif meta.stream_outputs:
         out_ref[0] = chan_out + sums_scr[:]
     else:
         @pl.when(i == meta.n_iterations - 1)
@@ -815,7 +910,12 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
     iter_block = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda bi, i: (i,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
     )
-    if meta.stream_outputs:
+    if meta.emit_stats:
+        out_shapes = [jax.ShapeDtypeStruct((1, 8, B), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((1, 8, bt), lambda bi, i: (0, 0, bi), memory_space=pltpu.VMEM)
+        ]
+    elif meta.stream_outputs:
         out_shapes = [jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)]
         out_specs = [
             pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
@@ -962,7 +1062,13 @@ def _fwd_kernel_hbm(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref,
 
     zero = jnp.zeros((meta.Zp, bt_k), jnp.float32)
     sums_scr[:] = jnp.concatenate([a if a is not None else zero for a in acc], axis=0)
-    if meta.stream_outputs:
+    if meta.emit_stats:
+        @pl.when(i == I - 1)
+        def _write_stats_hbm():
+            out_ref[0] = _stats_rows(
+                chan_out + sums_scr[:], None, meta, routing_dtype
+            )
+    elif meta.stream_outputs:
         out_ref[0] = chan_out + sums_scr[:]
     else:
         @pl.when(i == I - 1)
@@ -992,7 +1098,10 @@ def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
     iter_block = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda bi, i: (i,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
     )
-    if meta.stream_outputs:
+    if meta.emit_stats:
+        out0_shape = jax.ShapeDtypeStruct((1, 8, B), jnp.float32)
+        out0_spec = pl.BlockSpec((1, 8, bt), lambda bi, i: (0, 0, bi), memory_space=pltpu.VMEM)
+    elif meta.stream_outputs:
         out0_shape = jax.ShapeDtypeStruct((I, NZp, B), jnp.float32)
         out0_spec = pl.BlockSpec((1, NZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
     else:
@@ -1192,7 +1301,9 @@ def _bwd_kernel(meta: _TrainMeta, routing_dtype,
             g_extrmin = g_wm_pre * w_eff  # |c2v| grad cancels the sign exactly
             return g_extrmin, g_cnw, g_ucnw
 
-        g_v2c_cls, g_cnw_p, g_ucnw_p = _cn_minsum_fwd_bwd_one(
+        cn_fwd_bwd = (_cn_sumproduct_fwd_bwd_one if meta.sum_product
+                      else _cn_minsum_fwd_bwd_one)
+        g_v2c_cls, g_cnw_p, g_ucnw_p = cn_fwd_bwd(
             v2c_cls, d, n, meta, g_extrmin_fn
         )
         g_cnw_parts.append(g_cnw_p)
@@ -1484,7 +1595,9 @@ def _bwd_kernel_hbm(meta: _TrainMeta, routing_dtype,
             g_extrmin = g_wm_pre * w_eff
             return g_extrmin, g_cnw, g_ucnw
 
-        g_v2c_cls, g_cnw_p, g_ucnw_p = _cn_minsum_fwd_bwd_one(
+        cn_fwd_bwd = (_cn_sumproduct_fwd_bwd_one if meta.sum_product
+                      else _cn_minsum_fwd_bwd_one)
+        g_v2c_cls, g_cnw_p, g_ucnw_p = cn_fwd_bwd(
             v2c_cls, d, nc, meta, g_extrmin_fn
         )
         g_cnw_parts.append(g_cnw_p)
@@ -1662,6 +1775,10 @@ class FusedTrainDecoder:
         # decode-only: also emit a per-word syndrome-satisfied flag (apply
         # then returns (outs, ok)); see _TrainMeta.emit_syndrome
         emit_syndrome: bool = False,
+        # decode-only, all-zero campaigns: emit ONLY per-word stats — apply
+        # returns (ok [B], bit_errors [B], frame_error [B]) and the APP never
+        # leaves VMEM; see _TrainMeta.emit_stats
+        emit_stats: bool = False,
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -1687,12 +1804,13 @@ class FusedTrainDecoder:
             raise ValueError("UCN weighting requires CN weights")
         if sum_product and qms_qbit is not None:
             raise ValueError("SP and QMS are mutually exclusive decoder types")
-        if sum_product and store_msgs:
-            raise ValueError("SP has no fused backward; use store_msgs=False "
-                             "(streaming decode) or the XLA training engine")
         if emit_syndrome and (store_msgs or stream_outputs):
             raise ValueError("emit_syndrome is a final-APP decode epilogue; "
                              "use store_msgs=False, stream_outputs=False")
+        if emit_stats and (store_msgs or stream_outputs or emit_syndrome):
+            raise ValueError("emit_stats is a stats-only decode mode; use "
+                             "store_msgs=False, stream_outputs=False and not "
+                             "emit_syndrome (stats row 0 IS the syndrome)")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(graph)
         self.edge_perm = edge_perm  # host numpy: closed over by outer jits
@@ -1720,6 +1838,7 @@ class FusedTrainDecoder:
             shift_of_edge=tuple(int(graph.shift_of_edge[e]) for e in edge_perm),
             stream_outputs=stream_outputs,
             emit_syndrome=emit_syndrome,
+            emit_stats=emit_stats,
         )
         operand_bytes = 0
         if routing == "matmul":
@@ -1813,8 +1932,6 @@ class FusedTrainDecoder:
         cfg = decoder.config
         if cfg.convention == Convention.REFERENCE:
             raise ValueError("fused training implements the STANDARD convention")
-        if cfg.decoder_type == DecoderType.SP and kw.get("store_msgs", True):
-            raise ValueError("SP training stays on the XLA path (tanh-domain bwd)")
         return FusedTrainDecoder(
             decoder.graph,
             n_iterations=cfg.n_iterations,
@@ -1926,6 +2043,9 @@ class FusedTrainDecoder:
             outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         else:
             outs_pre, _, syn = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+        if m.emit_stats:
+            stats = outs_pre[0]  # [8, Bp]
+            return stats[0, :B] > 0.5, stats[1, :B], stats[2, :B] > 0.5
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
         I = outs.shape[0]  # 1 when stream_outputs=False
         o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]

@@ -354,6 +354,9 @@ class FusedMinsumDecoder:
         # kernel: __call__ -> (app [B, N*Z], ok [B] bool).  Stream engine,
         # final-APP output only (the Monte-Carlo early-exit consumer).
         emit_syndrome: bool = False,
+        # ALL-ZERO campaigns: __call__ -> (ok [B], bit_errors [B],
+        # frame_error [B]); the APP never leaves the kernel
+        emit_stats: bool = False,
         # forwarded to the stream kernel: "vmem" | "hbm" | "auto" message
         # residency (ops/pallas/fused_train.py)
         store_space: str = "auto",
@@ -364,8 +367,11 @@ class FusedMinsumDecoder:
             raise ValueError("emit_syndrome needs the final-APP-only decode")
         if emit_syndrome and engine != "stream":
             raise ValueError("emit_syndrome is a stream-engine epilogue")
+        if emit_stats and (all_iterations or engine != "stream"):
+            raise ValueError("emit_stats is a stream-engine, final-only mode")
         self.graph = graph
         self.emit_syndrome = emit_syndrome
+        self.emit_stats = emit_stats
 
         # The default decode path is the streaming kernel
         # (ops/pallas/fused_train.py): iteration = a grid dimension (so
@@ -407,6 +413,7 @@ class FusedMinsumDecoder:
                 int8_routing=int8_routing,
                 interpret=interpret,
                 emit_syndrome=emit_syndrome,
+                emit_stats=emit_stats,
                 store_space=store_space,
             )
             self.meta = self._delegate.meta
@@ -526,6 +533,8 @@ class FusedMinsumDecoder:
     def _delegate_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         cn_w, ucn_w, vn_w = self._w
         res = self._delegate.apply(cn_w, ucn_w, vn_w, chan_llr)
+        if self.emit_stats:
+            return res  # (ok, bit_errors, frame_error)
         if self.emit_syndrome:
             outs, ok = res
             return outs[-1], ok

@@ -196,6 +196,33 @@ def test_emit_syndrome_matches_xla_syndrome():
     assert 0 < int(np.asarray(ok).sum()) < 32  # both populations present
 
 
+def test_emit_stats_matches_host_counts():
+    """Stats-only decode (ok/bit-errors/frame-error, no APP output) must
+    match counts computed from the full APP (all-zero convention)."""
+    from neural_ldpc_tpu.eval.two_stage import make_syndrome_ok
+    from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=2, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    rng = np.random.default_rng(6)
+    llr = jnp.asarray(rng.normal(loc=5.0, scale=2.7, size=(32, g.N, 8)).astype(np.float32))
+    app = FusedMinsumDecoder.from_decoder(dec, params, interpret=True, bt=8)(llr)
+    ok_ref = np.asarray(make_syndrome_ok(g)(app))
+    err_ref = np.asarray(app) < 0
+    for space in ("vmem", "hbm"):
+        f = FusedMinsumDecoder.from_decoder(
+            dec, params, interpret=True, emit_stats=True, bt=8,
+            store_space=space)
+        ok, be, fe = f(llr)
+        np.testing.assert_array_equal(np.asarray(ok), ok_ref)
+        np.testing.assert_array_equal(np.asarray(be), err_ref.sum(axis=1))
+        np.testing.assert_array_equal(np.asarray(fe), err_ref.any(axis=1))
+
+
 def test_montecarlo_early_exit_counters_match_full():
     """Syndrome-gated early exit (round 4): counters must equal the
     full-unroll fused campaign on identical words — accepted words keep

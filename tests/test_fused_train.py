@@ -186,6 +186,80 @@ def test_fused_train_hbm_store_matches_flat(code_name, n_iter, dec_type, sharing
                                    atol=1e-6, rtol=1e-4, err_msg=f"grad {k}")
 
 
+@pytest.mark.parametrize("sharing", [
+    NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+    pytest.param(NodeWeightSharingConfig(cn=1, ucn=0, vn=2), marks=slow),
+    pytest.param(NodeWeightSharingConfig(cn=3, ucn=2, vn=0), marks=slow),
+])
+def test_fused_train_sum_product_grads(sharing):
+    """SP (tanh-domain) training on the fused tier (round 4, VERDICT item
+    8): values and gradients vs the XLA flat path.  The flat exclude-self
+    product uses jnp.cumprod (log-depth scan) where the kernel reverses
+    sequential chains, so agreement is to roundoff, not bitwise."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.SP, sharing=sharing,
+        matmul_precision="highest"))
+    rng = np.random.default_rng(2)
+    params = {k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(8, g.N, 8)).astype(np.float32) * 4)
+    bits = jnp.zeros((8, g.N * 8), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing="roll", routing_dtype=jnp.float32)
+    assert ft.meta.sum_product and ft.meta.store_msgs
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+    np.testing.assert_allclose(
+        np.asarray(ft.apply(cn_w, ucn_w, vn_w, llr)),
+        np.asarray(dec.apply(params, llr)), atol=3e-5)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=[0, 1, 2])
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=[0, 1, 2])
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=2e-6, rtol=2e-4, err_msg=f"grad {k}")
+
+
+@slow
+def test_fused_train_sum_product_hbm():
+    """SP training parity in the HBM-streamed store mode."""
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, 8)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=3, decoder_type=DecoderType.SP,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        matmul_precision="highest"))
+    rng = np.random.default_rng(3)
+    params = {k: jnp.asarray(np.asarray(v) + 0.1 * rng.standard_normal(v.shape).astype(np.float32))
+              for k, v in dec.init_params().items()}
+    llr = jnp.asarray(rng.normal(size=(8, g.N, 8)).astype(np.float32) * 4)
+    bits = jnp.zeros((8, g.N * 8), jnp.float32)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, interpret=True, routing="roll", store_space="hbm", bt=8)
+    cn_w, ucn_w, vn_w = dec._expanded_weights(params)
+
+    def loss_fused(p):
+        cw, uw, vw = dec._expanded_weights(p)
+        return multi_iteration_loss(ft.apply(cw, uw, vw, llr), bits, coeff=[0, 1, 2])
+
+    def loss_flat(p):
+        return multi_iteration_loss(dec.apply(p, llr), bits, coeff=[0, 1, 2])
+
+    gf = jax.grad(loss_flat)(params)
+    gk = jax.grad(loss_fused)(params)
+    for k in gf:
+        np.testing.assert_allclose(np.asarray(gk[k]), np.asarray(gf[k]),
+                                   atol=2e-6, rtol=2e-4, err_msg=f"grad {k}")
+
+
 def test_fused_decode_hbm_bitexact_vs_vmem():
     """HBM-streamed decode (store_msgs=False, one carry slot) is bit-identical
     to the VMEM-resident fused decode."""
