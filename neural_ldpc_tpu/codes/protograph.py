@@ -159,9 +159,26 @@ def nr_bg2_z16(with_gen_matrix: bool = True) -> CodeSpec:
     )
 
 
+def nr_bg1_like(Z: int = 384) -> CodeSpec:
+    """BG1-STRUCTURED QC-LDPC: 46x68, kb=22, E=316, Z<=384 (N*Z=26112 at the
+    full lift).  Same dimensions/template as 3GPP 38.212 base graph 1
+    (dual-diagonal core, identity staircase extension, two heavily-connected
+    leading info columns) with shifts from a seeded 4-cycle-free search —
+    the standardized shift tables are not reproducible in this offline
+    environment (scripts/make_bg1_like.py; divergence noted in PARITY.md).
+    No shipped generator matrix (27 MB at Z=384); derive one on demand via
+    ``CodeSpec.with_derived_generator()``."""
+    return CodeSpec(
+        name=f"nr_bg1_like_z{Z}",
+        basegraph=load_basegraph(_resource("nr_bg1_like.pcm")),
+        Z=Z,
+    )
+
+
 _REGISTRY = {
     "wman_n576_r34_z24": wman_n576,
     "nr_bg2_set0_z16": nr_bg2_z16,
+    "nr_bg1_like_z384": nr_bg1_like,
 }
 
 

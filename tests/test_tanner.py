@@ -162,3 +162,34 @@ def test_code_rate_shortening_semantics():
     assert code.code_rate(n_punctured_bits=32) == 160 / 800
     assert code.code_rate(n_shortened_bits=60) == (160 - 60) / (832 - 60)
     assert code.code_rate(32, 60) == 100 / 740
+
+
+def test_nr_bg1_like_resource():
+    """The BG1-structured code (round 4): dimensions/template, 4-cycle-free
+    lifting at Z=384, and a derivable generator at a small lift."""
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.codes.gf2 import rank_gf2
+
+    code = get_code("nr_bg1_like_z384")
+    assert (code.M, code.N, code.Z) == (46, 68, 384)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    assert g.E == 316
+    degs = np.diff(g.row_ptr)
+    assert degs.min() >= 2 and degs.max() <= 22
+    # staircase extension: identity (shift 0) on the diagonal columns
+    bg = code.basegraph
+    for i, r in enumerate(range(4, 46)):
+        assert bg[r, 26 + i] == 0
+    # no 4-cycles at the full lift: every 2x2 submatrix shift condition holds
+    for r1 in range(46):
+        c1s = np.nonzero(bg[r1] >= 0)[0]
+        for r2 in range(r1 + 1, 46):
+            shared = [c for c in c1s if bg[r2, c] >= 0]
+            for a in range(len(shared)):
+                for b in range(a + 1, len(shared)):
+                    ca, cb = shared[a], shared[b]
+                    assert (bg[r1, ca] - bg[r1, cb] + bg[r2, cb] - bg[r2, ca]) % 384 != 0
+    # generator derivable (full-rank H) at Z=8
+    g8 = TannerGraph.from_basegraph(code.basegraph, 8)
+    H8 = g8.lifted_parity_check_matrix()
+    assert rank_gf2(H8) == H8.shape[0]
