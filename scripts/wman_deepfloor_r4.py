@@ -49,6 +49,10 @@ EE_ITERS = int(os.environ.get("DF_EE_ITERS", 3))
 EE_CAP = int(os.environ.get("DF_EE_CAP", 8192))
 
 
+def _stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def build():
     import jax.numpy as jnp
 
@@ -152,9 +156,13 @@ def stage_harvest(snrs=(5.3, 5.5), target=6000,
     from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
     from neural_ldpc_tpu.utils.rng import split_async
 
+    import jax as _jax
+    _stamp(f"devices: {_jax.devices()}")
     code, graph, channel, pipe, base_params = build()
+    _stamp("pipeline built")
     phase1, full = _ee_decoders(pipe, base_params)
     compact = _compactor(EE_CAP)
+    _stamp("decoders constructed")
 
     pools, meta = [], {"snrs": list(snrs), "words": {}, "failures": {}}
     if os.path.exists(POOL_NPZ):
@@ -181,6 +189,12 @@ def stage_harvest(snrs=(5.3, 5.5), target=6000,
     for snr in snrs:
         chan = AWGNChannel(code, ChannelConfig(snr_db=(snr,)))
         sigma = jnp.float32(chan.sigma[0])
+        # compile probe: one batch, blocked, so the (slow, remote) Mosaic
+        # compiles are visibly separated from the steady-state loop
+        _stamp(f"@{snr}: compiling harvest_step ...")
+        key, sub = split_async(key)
+        _sel, _err, _nf = harvest_step(sub, sigma)
+        _stamp(f"@{snr}: compiled; first batch nf={int(_nf)}")
         words = int(meta["words"].get(str(snr), 0))
         fails = int(meta["failures"].get(str(snr), 0))
         while (fails < per_snr_target and n_pool < target
