@@ -39,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASE_NPZ = os.path.join(REPO, "trained", "wman_ms10_base75ep.npz")
-EXT_FT_NPZ = os.path.join(REPO, "trained", "wman_ms13_deepfloor_ft.npz")
+EXT_FT_NPZ = os.path.join(REPO, "trained", "wman_ms13_deepfloor.npz")
 DEEP_NPZ = os.path.join(REPO, "trained", "wman_ms13_deepfloor_r4.npz")
 POOL_NPZ = os.path.join(REPO, "trained", "wman_deepfloor_r4_pool.npz")
 OUT = os.path.join(REPO, "benchmarks", "wman_deepfloor_r4.json")
@@ -238,9 +238,13 @@ def stage_finetune(pool_ratio=0.5, epochs=60):
 
     code, graph, channel, pipe, base_params = build()
     d = np.load(POOL_NPZ, allow_pickle=True)
-    start = EXT_FT_NPZ if os.path.exists(EXT_FT_NPZ) else None
-    ext_params = {k: jnp.asarray(v) for k, v in np.load(start).items()
-                  if k.startswith("weight")}
+    if os.path.exists(EXT_FT_NPZ):
+        # warm-start from the r2 extended-13 decoder (trained on the mid-SNR
+        # pool); the r4 fine-tune re-aims its UCN rows at the deep pool
+        ext_params = {k: jnp.asarray(v) for k, v in np.load(EXT_FT_NPZ).items()
+                      if k.startswith("weight")}
+    else:
+        ext_params = pipe.transfer_base_params(base_params)
     rng = np.random.default_rng(77)
     pipe.cfg.pool_mix_ratio = pool_ratio
     pipe.channel = AWGNChannel(code, ChannelConfig(snr_db=(5.0, 5.25)))
@@ -258,7 +262,7 @@ def stage_finetune(pool_ratio=0.5, epochs=60):
           flush=True)
 
 
-def stage_eval(snrs=(5.5, 5.75), target_base_errors=150,
+def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
                wall_budget_s=float(os.environ.get("WALL_BUDGET_S", 10800)),
                ext_npz=None, tag="wman_deepfloor_r4"):
     """Paired two-stage deep eval: base FER and system FER on IDENTICAL
