@@ -203,8 +203,9 @@ def fused_capacity_ok(graph: TannerGraph) -> bool:
     # VMEM-resident fast path, roll routing, bt=128
     if (EZp + NZp) * 4 * 128 + 6 * NZp * 4 * 128 <= 90 * 1024 * 1024:
         return True
-    # HBM-streamed path: per-VN windows + chunk bounces only
-    return graph.E <= 1024 and 10 * NZp * 4 * 128 <= 90 * 1024 * 1024
+    # HBM-streamed path: per-VN windows + chunk bounces only, at the minimum
+    # batch tile (the constructor descends to bt=32 before giving up)
+    return graph.E <= 1024 and 10 * NZp * 4 * 32 <= 90 * 1024 * 1024
 
 
 def build_layout(graph: TannerGraph):
@@ -1888,7 +1889,11 @@ class FusedTrainDecoder:
                     self.meta, hbm_store=True, chunks=chunks,
                     chunk_rows=max(d * nc * Zp for _, d, nc in chunks),
                 )
-                if _vmem_bytes_hbm(self.meta, bt) <= hbm_limit or bt <= 128:
+                # descend below the 128-lane tile when that is what it takes:
+                # bt=64/32 lane-pads (≤4x lane waste) but unlocks the full
+                # Z=384 BG1 lift, and still beats the XLA fallback (measured
+                # 5.7x at Z=128; benchmarks/bg1_routing_r4.json for Z=384)
+                if _vmem_bytes_hbm(self.meta, bt) <= hbm_limit or bt <= 32:
                     break
                 if not auto_bt:
                     break

@@ -508,7 +508,8 @@ def test_legacy_engine_delegation_warns():
 
 def test_fused_capacity_helper_frontier():
     """fused_capacity_ok admits the hardware-proven BG1-scale Z=128 decode
-    and rejects genuinely oversized codes."""
+    AND the full Z=384 lift (round 4: auto-bt descends to 32 in HBM mode),
+    and still rejects genuinely oversized codes."""
     from neural_ldpc_tpu.ops.pallas.fused_train import fused_capacity_ok
 
     rng = np.random.default_rng(0)
@@ -522,4 +523,23 @@ def test_fused_capacity_helper_frontier():
         for c in rng.choice(N - M, size=rng.integers(3, 8), replace=False):
             bg[m, M + c] = rng.integers(0, 383)
     assert fused_capacity_ok(TannerGraph.from_basegraph(bg, 128))
-    assert not fused_capacity_ok(TannerGraph.from_basegraph(bg, 384))
+    assert fused_capacity_ok(TannerGraph.from_basegraph(bg, 384))
+    # beyond the per-VN window budget even at bt=32
+    assert not fused_capacity_ok(TannerGraph.from_basegraph(bg, 1536))
+
+
+def test_bg1_full_lift_decode_constructs():
+    """The shipped nr_bg1_like code at its FULL Z=384 lift constructs a fused
+    decode (HBM-streamed messages, auto batch tile descending below 128) —
+    the round-4 frontier; hardware numbers in benchmarks/bg1_routing_r4.json."""
+    from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder
+
+    code = get_code("nr_bg1_like_z384")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=10, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=0, ucn=0, vn=0)))
+    ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
+                                        stream_outputs=False, interpret=True)
+    assert ft.meta.hbm_store
+    assert ft.bt <= 64  # the descent below the 128-lane tile is what unlocks Z=384
