@@ -57,22 +57,27 @@ ROWS, COLS, CHAIN, GRID = 512, 1024, 256, 64
 
 
 def _sol_kernel(mix):
+    # Both bodies are chosen to defeat compile-time folding (measured: an
+    # affine chain with constant coefficients folds under Mosaic/LLVM
+    # fast-math, and min(|acc+a|, a) folds to `a` by value-range analysis
+    # once acc >= 0 — either yields "700 Tops/s").  |acc*c - a| and the
+    # min/abs mix below are non-affine with step-dependent values.
     def kern(x_ref, o_ref):
         a = x_ref[...]
-        acc = a
+        acc = a * 0.5
         if mix == "fma":
             for _ in range(CHAIN):
-                acc = acc * 1.000001 + a          # 2 ops/elt/step
-        else:  # decode mix: routing add + abs + two-min select
+                acc = jnp.abs(acc * 0.9999 - a)          # mul+sub+abs
+        else:  # decode mix: add + abs + min (the CN-update op classes)
             for _ in range(CHAIN):
-                acc = jnp.minimum(jnp.abs(acc + a), a)  # 3 ops/elt/step
-        o_ref[...] = acc
+                acc = jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
+        o_ref[...] = acc * 0.9  # output != input so chained reps keep moving
 
     return kern
 
 
 def measure_sol(mix):
-    ops_per_step = 2 if mix == "fma" else 3
+    ops_per_step = 3 if mix == "fma" else 5  # sub+abs+mul+add+min
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0.5, 1.5, size=(GRID * ROWS, COLS))
         .astype(np.float32))
@@ -86,15 +91,17 @@ def measure_sol(mix):
         out_shape=jax.ShapeDtypeStruct((GRID * ROWS, COLS), jnp.float32),
     )
     fn = jax.jit(fn)
-    jax.block_until_ready(fn(x))
-    reps = 20
+    x = fn(x)
+    jax.block_until_ready(x)
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        o = fn(x)
-    jax.block_until_ready(o)
+        x = fn(x)  # chained: each launch consumes the previous output
+    jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / reps
     total_ops = GRID * ROWS * COLS * CHAIN * ops_per_step
     return {"mix": mix, "ops_per_launch": total_ops, "launch_s": dt,
+            "finite": bool(jnp.isfinite(x).all()),
             "tops_per_s": round(total_ops / dt / 1e12, 3)}
 
 
@@ -157,13 +164,19 @@ def trace_decode(results):
         "device_track_names": pid_names,
         "top_device_slices_s": by_name,
     }
-    # the fused kernel's custom-call slice: the dominant device slice
+    # the fused kernel's custom-call slices (_fwd_run*), NOT the enclosing
+    # jit program slice (which double-counts everything inside it)
     if by_name:
-        kname, ktime = max(by_name.items(), key=lambda kv: kv[1])
-        ent["kernel_slice"] = kname
+        ktime = sum(v for k, v in by_name.items() if "_fwd_run" in k)
+        if not ktime:
+            kname, ktime = max(((k, v) for k, v in by_name.items()
+                                if not k.startswith("jit_")),
+                               key=lambda kv: kv[1])
+            ent["kernel_slice"] = kname
         ent["kernel_device_s"] = round(ktime, 4)
         ach = ops_per_word * B * REPS / ktime
         ent["achieved_tops_per_s"] = round(ach / 1e12, 3)
+        ent["kernel_words_per_s"] = round(B * REPS / ktime)
     results["decode_trace"] = ent
     print("decode_trace", json.dumps(ent, indent=1), flush=True)
     return results
