@@ -111,9 +111,14 @@ class MonteCarloCampaign:
         # odd-Z codes ride the streaming-kernel delegation inside
         # FusedMinsumDecoder; the remaining constraints are the REFERENCE
         # parity convention and the VMEM message-residency capacity
+        from ..structs import DecoderType
+
         return (
             self.decoder.config.convention != Convention.REFERENCE
-            and fused_capacity_ok(self.decoder.graph)
+            and fused_capacity_ok(
+                self.decoder.graph,
+                qms=self.decoder.config.decoder_type == DecoderType.QMS,
+            )
         )
 
     def _resolve_engine(self) -> str:

@@ -168,10 +168,15 @@ def _vmem_bytes(meta: "_TrainMeta", bt: int, operand_bytes: int) -> int:
 def _vmem_bytes_hbm(meta: "_TrainMeta", bt: int) -> int:
     """Peak VMEM estimate for the HBM-streamed kernels at batch tile ``bt``:
     per-VN [NZp, bt] windows/scratches plus chunk bounce buffers and their
-    in-flight temporaries (the message state itself lives in HBM)."""
-    NZpB = meta.NZp * 4 * bt
-    CRB = meta.chunk_rows * 4 * bt
+    in-flight temporaries (the message state itself lives in HBM).
+
+    bt is the LANE axis, and sub-128-lane VMEM blocks pad to 128 lanes —
+    so every byte term is clamped at 128 lanes (a bt=32 window physically
+    costs the same as bt=128; round-5 fix of the round-4 under-estimate
+    that "unlocked" Z=384 at bt=32 on paper only)."""
     lanes = max(bt, 128)
+    NZpB = meta.NZp * 4 * lanes
+    CRB = meta.chunk_rows * 4 * lanes
     w = 0
     if meta.has_cn_w or meta.has_ucn:
         w += 2 * meta.Ep8 * lanes * 4 * 2
@@ -186,29 +191,47 @@ def _vmem_bytes_hbm(meta: "_TrainMeta", bt: int) -> int:
         # adjoint
         n = 8 + (3 if meta.qms_qbit is not None else 0) + (2 if meta.has_ucn else 0)
         return n * NZpB + 11 * CRB + w
-    n = 6 + (2 if meta.qms_qbit is not None else 0)
-    return n * NZpB + 8 * CRB + w
+    # decode windows (_fwd_run_hbm): chan in (double-buffered) + sums scratch
+    # = 3; APP / per-iteration output adds 2 more (emit_stats's [8, bt] row
+    # is negligible); QMS adds the quantized-channel pair.  2 chunk bounce
+    # scratches + in-flight DMA/liveness ≈ 6x chunk.
+    n = 3
+    if meta.stream_outputs or not meta.emit_stats:
+        n += 2
+    if meta.qms_qbit is not None:
+        n += 2
+    return n * NZpB + 6 * CRB + w
 
 
-def fused_capacity_ok(graph: TannerGraph) -> bool:
+def fused_capacity_ok(graph: TannerGraph, qms: bool = False) -> bool:
     """Whether the fused kernel can decode this code on one chip.
 
     Round 4: codes whose message state exceeds VMEM residency stream it
     through HBM per degree-class chunk (meta.hbm_store), so the remaining
     limits are the per-VN working set (NZp windows must fit VMEM at the
     minimum 128-lane tile) and compile time (the roll routing unrolls per
-    edge; beyond ~1024 edges the build is impractical)."""
-    EZp = graph.E * _round8(graph.Z)
-    NZp = graph.N * _round8(graph.Z)
+    edge; beyond ~1024 edges the build is impractical).  Round 5: the HBM
+    bound mirrors the constructor's lane-honest decode estimate at the
+    bt=128 floor (sub-128 tiles lane-pad to 128, so descending below 128
+    buys no VMEM); QMS decode carries two extra per-VN windows."""
+    Zp = _round8(graph.Z)
+    EZp = graph.E * Zp
+    NZp = graph.N * Zp
     # VMEM-resident fast path, roll routing, bt=128
     if (EZp + NZp) * 4 * 128 + 6 * NZp * 4 * 128 <= 90 * 1024 * 1024:
         return True
-    # HBM-streamed path: per-VN windows + chunk bounces only, at the minimum
-    # batch tile (the constructor descends to bt=32 before giving up)
-    return graph.E <= 1024 and 10 * NZp * 4 * 32 <= 90 * 1024 * 1024
+    # HBM-streamed APP decode at the bt=128 floor: n per-VN windows + chunk
+    # bounces + ~2 MB weight-stream/liveness slack (matches _vmem_bytes_hbm
+    # with store_msgs=False, emit_stats=False — the stats-only campaign mode
+    # needs 2 windows fewer, so this gate is conservative for campaigns)
+    maxdeg = int(np.diff(graph.row_ptr).max())
+    chunk_rows = max((2 * 1024 * 1024) // (4 * 128), maxdeg * Zp)
+    n = 7 if qms else 5
+    est = (n * NZp + 6 * chunk_rows) * 4 * 128 + 2 * 1024 * 1024
+    return graph.E <= 1024 and est <= 100 * 1024 * 1024
 
 
-def build_layout(graph: TannerGraph):
+def build_layout(graph: TannerGraph, need_routing_operand: bool = True):
     """Degree-sorted check order + per-edge Z padding.
 
     Returns (edge_perm [E] new->old, deg_classes, R [N*Zp, E*Zp]).  The
@@ -235,6 +258,10 @@ def build_layout(graph: TannerGraph):
 
     Z, Zp = graph.Z, _round8(graph.Z)
     E = graph.E
+    if not need_routing_operand:
+        # roll routing uses only edge_perm/deg_classes; the dense one-hot R
+        # is [N*Zp, E*Zp] (12.7 GB host RAM at the full BG1 Z=384 lift)
+        return edge_perm, deg_classes, None
     R = np.zeros((graph.N * Zp, E * Zp), np.float32)
     zc = np.arange(Z)
     for k, e in enumerate(edge_perm):
@@ -1813,7 +1840,8 @@ class FusedTrainDecoder:
                              "store_msgs=False, stream_outputs=False and not "
                              "emit_syndrome (stats row 0 IS the syndrome)")
         self.graph = graph
-        edge_perm, deg_classes, R = build_layout(graph)
+        edge_perm, deg_classes, R = build_layout(
+            graph, need_routing_operand=routing == "matmul")
         self.edge_perm = edge_perm  # host numpy: closed over by outer jits
         Z, Zp = graph.Z, _round8(graph.Z)
         NZ, NZp = graph.N * Z, graph.N * Zp
@@ -1889,11 +1917,11 @@ class FusedTrainDecoder:
                     self.meta, hbm_store=True, chunks=chunks,
                     chunk_rows=max(d * nc * Zp for _, d, nc in chunks),
                 )
-                # descend below the 128-lane tile when that is what it takes:
-                # bt=64/32 lane-pads (≤4x lane waste) but unlocks the full
-                # Z=384 BG1 lift, and still beats the XLA fallback (measured
-                # 5.7x at Z=128; benchmarks/bg1_routing_r4.json for Z=384)
-                if _vmem_bytes_hbm(self.meta, bt) <= hbm_limit or bt <= 32:
+                # floor at the 128-lane tile: sub-128 bt lane-pads every
+                # window back to 128 lanes, so descending further cannot
+                # shrink VMEM (round-5 fix; the lane-honest estimate admits
+                # the full Z=384 BG1 lift at bt=128 for MS decode)
+                if _vmem_bytes_hbm(self.meta, bt) <= hbm_limit or bt <= 128:
                     break
                 if not auto_bt:
                     break

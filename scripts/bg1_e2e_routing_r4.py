@@ -97,11 +97,16 @@ def stage_bg1(results):
     entry["fused"]["maxdiff"] = float(np.abs(got - ref).max())
     print("bg1 agreement", json.dumps(entry["fused"]), flush=True)
 
-    # decode throughput, fused vs XLA
+    # decode throughput, fused vs XLA — SAME batch for both (an undersized
+    # XLA batch is dispatch-bound on the remote device and inflates the
+    # ratio); the XLA edge path's [B, E*Z] per-iteration streams live in
+    # HBM, so B=256 is fine at this scale
     fn = jax.jit(lambda xx: ft.apply(cw, uw, vw, xx))
     entry["fused"]["words_per_s"] = round(_throughput(fn, x, reps=10))
+    entry["fused"]["batch"] = B
     fx = jax.jit(lambda xx: dec.apply(params, xx)[-1])
-    entry["xla_words_per_s"] = round(_throughput(fx, xs, reps=5) )
+    entry["xla_words_per_s"] = round(_throughput(fx, x, reps=5))
+    entry["xla_batch"] = B
     entry["fused"]["speedup_vs_xla"] = round(
         entry["fused"]["words_per_s"] / entry["xla_words_per_s"], 2)
     print("bg1 throughput", json.dumps(entry["fused"]), flush=True)

@@ -169,14 +169,18 @@ def trace_decode(results):
     if by_name:
         ktime = sum(v for k, v in by_name.items() if "_fwd_run" in k)
         if not ktime:
+            # fall back to the largest non-program slice; guard against a
+            # trace with only jit_ program slices (degrade to wall-clock)
             kname, ktime = max(((k, v) for k, v in by_name.items()
                                 if not k.startswith("jit_")),
-                               key=lambda kv: kv[1])
-            ent["kernel_slice"] = kname
-        ent["kernel_device_s"] = round(ktime, 4)
-        ach = ops_per_word * B * REPS / ktime
-        ent["achieved_tops_per_s"] = round(ach / 1e12, 3)
-        ent["kernel_words_per_s"] = round(B * REPS / ktime)
+                               key=lambda kv: kv[1], default=(None, 0.0))
+            if kname is not None:
+                ent["kernel_slice"] = kname
+        if ktime:
+            ent["kernel_device_s"] = round(ktime, 4)
+            ach = ops_per_word * B * REPS / ktime
+            ent["achieved_tops_per_s"] = round(ach / 1e12, 3)
+            ent["kernel_words_per_s"] = round(B * REPS / ktime)
     results["decode_trace"] = ent
     print("decode_trace", json.dumps(ent, indent=1), flush=True)
     return results

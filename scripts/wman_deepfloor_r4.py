@@ -197,6 +197,21 @@ def stage_harvest(snrs=(5.3, 5.5), target=6000,
         _stamp(f"@{snr}: compiled; first batch nf={int(_nf)}")
         words = int(meta["words"].get(str(snr), 0))
         fails = int(meta["failures"].get(str(snr), 0))
+        # fold the probe batch's results into the pool/counters (they are
+        # minutes of TPU work in the deep waterfall; discarding them also
+        # shifted the sample stream for resumed pools)
+        _e = np.asarray(_err)
+        if _e.any():
+            import jax.numpy as _jnp
+            rows = np.asarray(_jnp.take(_sel, _jnp.asarray(np.nonzero(_e)[0]),
+                                        axis=0))
+            pools.append(rows)
+            fails += len(rows)
+            n_pool += len(rows)
+        words += BATCH
+        meta["words"][str(snr)] = words
+        meta["failures"][str(snr)] = fails
+        meta["key"] = np.asarray(key).tolist()
         while (fails < per_snr_target and n_pool < target
                and time.time() - t0 < wall_budget_s):
             pend = []
@@ -298,7 +313,16 @@ def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
         to_post = (~ok2) & valid
         _, _, fe3 = post(sel)
         s_post = (fe3 & to_post).sum()
-        return e1, b_fe, s_del, s_post, to_post.sum(), nf
+        # one stacked vector so windows can reduce ON DEVICE (a per-batch
+        # scalar fetch costs a ~25 ms tunnel round trip; six of them per
+        # batch capped the r4 eval at 1.5M w/s)
+        return jnp.stack([e1, b_fe, s_del, s_post, to_post.sum(), nf]
+                         ).astype(jnp.int32)
+
+    @jax.jit
+    def merge(acc, r):
+        s, m = acc
+        return s + r, jnp.maximum(m, r[5])
 
     state_path = os.path.join(REPO, "trained", f"{tag}_eval_state.json")
     st = {"points": {str(s): {"words": 0, "base_fe": 0, "sys_fe": 0,
@@ -329,18 +353,20 @@ def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
         p = st["points"][str(snr)]
         while (p["base_fe"] < target_base_errors
                and time.time() - t0 < wall_budget_s):
-            pend = []
-            for _ in range(16):
+            acc = None
+            for _ in range(64):
                 key, sub = split_async(key)
-                pend.append(eval_step(sub, sigma))
-            for e1, b_fe, s_del, s_post, n_post, nf in pend:
-                if int(nf) > EE_CAP:
-                    print(f"WARNING: escalation overflow {int(nf)}", flush=True)
-                p["words"] += BATCH
-                p["base_fe"] += int(e1) + int(b_fe)
-                p["sys_fe"] += int(e1) + int(s_del) + int(s_post)
-                p["escalated"] += int(nf)
-                p["post_invoked"] += int(n_post)
+                r = eval_step(sub, sigma)
+                acc = (r, r[5]) if acc is None else merge(acc, r)
+            s, m = np.asarray(acc[0]), int(acc[1])  # ONE fetch per window
+            if m > EE_CAP:
+                print(f"WARNING: escalation overflow {m}", flush=True)
+            e1, b_fe, s_del, s_post, n_post, nf = (int(v) for v in s)
+            p["words"] += BATCH * 64
+            p["base_fe"] += e1 + b_fe
+            p["sys_fe"] += e1 + s_del + s_post
+            p["escalated"] += nf
+            p["post_invoked"] += n_post
             st["key"] = np.asarray(key).tolist()
             json.dump(st, open(state_path, "w"))
             flush_json()

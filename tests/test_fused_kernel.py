@@ -508,8 +508,9 @@ def test_legacy_engine_delegation_warns():
 
 def test_fused_capacity_helper_frontier():
     """fused_capacity_ok admits the hardware-proven BG1-scale Z=128 decode
-    AND the full Z=384 lift (round 4: auto-bt descends to 32 in HBM mode),
-    and still rejects genuinely oversized codes."""
+    AND the full Z=384 lift for MS decode (round 5: lane-honest HBM estimate
+    at the bt=128 floor), gates QMS at Z=384 out (two extra per-VN windows
+    exceed VMEM), and still rejects genuinely oversized codes."""
     from neural_ldpc_tpu.ops.pallas.fused_train import fused_capacity_ok
 
     rng = np.random.default_rng(0)
@@ -524,14 +525,15 @@ def test_fused_capacity_helper_frontier():
             bg[m, M + c] = rng.integers(0, 383)
     assert fused_capacity_ok(TannerGraph.from_basegraph(bg, 128))
     assert fused_capacity_ok(TannerGraph.from_basegraph(bg, 384))
-    # beyond the per-VN window budget even at bt=32
+    assert not fused_capacity_ok(TannerGraph.from_basegraph(bg, 384), qms=True)
+    # beyond the per-VN window budget at the 128-lane floor
     assert not fused_capacity_ok(TannerGraph.from_basegraph(bg, 1536))
 
 
 def test_bg1_full_lift_decode_constructs():
     """The shipped nr_bg1_like code at its FULL Z=384 lift constructs a fused
-    decode (HBM-streamed messages, auto batch tile descending below 128) —
-    the round-4 frontier; hardware numbers in benchmarks/bg1_routing_r4.json."""
+    decode (HBM-streamed messages) at the lane-honest bt=128 floor — sub-128
+    tiles lane-pad back to 128 so they buy no VMEM (round-5 fix)."""
     from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder
 
     code = get_code("nr_bg1_like_z384")
@@ -542,4 +544,4 @@ def test_bg1_full_lift_decode_constructs():
     ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
                                         stream_outputs=False, interpret=True)
     assert ft.meta.hbm_store
-    assert ft.bt <= 64  # the descent below the 128-lane tile is what unlocks Z=384
+    assert ft.bt == 128
