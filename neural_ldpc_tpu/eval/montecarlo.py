@@ -60,6 +60,15 @@ class CampaignConfig:
     # max escalations per batch before the batch is re-decoded exactly with
     # the full unroll (drain() detects the overflow and redoes that batch)
     early_exit_capacity: int = 4096
+    # Round 5: measure before trusting — at the first window of each SNR
+    # point, time a short burst of EE steps against the exact full-unroll
+    # step and keep whichever is faster FOR THAT POINT.  In the high-error
+    # regime the escalation rate makes EE net-negative (0.64x at 4.0 dB,
+    # benchmarks/early_exit_r4.json); the guard makes early_exit_iters safe
+    # to leave on for a whole sweep.  Probe batches' counters are folded in
+    # (no words are wasted).  False = always EE (r4 behavior).
+    early_exit_auto_guard: bool = True
+    early_exit_probe_batches: int = 8
 
 
 class MonteCarloCampaign:
@@ -91,9 +100,10 @@ class MonteCarloCampaign:
                 raise ValueError("early_exit_iters requires the fused engine")
             if config.fused_all_iterations:
                 raise ValueError("early exit produces final-iteration stats only")
-            if mesh is not None:
-                raise ValueError("early exit is single-device (deep-waterfall "
-                                 "campaigns); drop the mesh or early_exit_iters")
+            if mesh is not None and not config.all_zero:
+                raise ValueError("mesh early exit rides the stats-only kernel "
+                                 "(all_zero campaigns); drop the mesh, the "
+                                 "early_exit_iters, or set all_zero")
             if not (0 < config.early_exit_iters < self.n_iters):
                 raise ValueError("early_exit_iters must be in (0, n_iterations)")
         S = len(channel.sigma)
@@ -102,7 +112,8 @@ class MonteCarloCampaign:
         self.words = np.zeros(S, np.int64)
         self.bit_errors = np.zeros((S, n_cols), np.float64)
         self.frame_errors = np.zeros((S, n_cols), np.float64)
-        self._step = self._build_step()
+        self._ee_choice: dict = {}  # per-SNR-point auto-guard decisions
+        self._build_step()
 
     def _fused_eligible(self) -> bool:
         from ..ops.pallas.fused_train import fused_capacity_ok
@@ -132,19 +143,74 @@ class MonteCarloCampaign:
         return "fused" if on_accelerator and self._fused_eligible() else "xla"
 
     def _build_step(self):
+        """Bake the per-batch steps: ``self._exact_step`` (full unroll,
+        always), ``self._ee_step`` (syndrome-gated early exit, None unless
+        configured), and the window-overflow threshold ``self._ee_cap``
+        (per-device in mesh mode)."""
         convention = self.decoder.config.convention
         channel, decoder, cfg = self.channel, self.decoder, self.cfg
+        self._ee_step = None
+        self._ee_cap = min(cfg.early_exit_capacity, cfg.batch_size)
 
         if self.fused:
             from jax.sharding import PartitionSpec as P
 
             from ..ops.pallas.minsum import FusedMinsumDecoder
 
+            interp = jax.default_backend() == "cpu"
+            nz_bits = float(self.decoder.graph.N * self.decoder.graph.Z)
+
             fused = FusedMinsumDecoder.from_decoder(
                 decoder, self.params,
                 all_iterations=cfg.fused_all_iterations,
-                interpret=jax.default_backend() == "cpu",
+                interpret=interp,
             )
+
+            # ---- early-exit building blocks (shared by mesh/single) ----
+            if self.ee:
+                from ..structs import DecoderType, SharingMode
+
+                I1 = cfg.early_exit_iters
+                dcfg = decoder.config
+                cn_w, ucn_w, vn_w = decoder._expanded_weights(self.params)
+                if dcfg.sharing.ucn == SharingMode.NONE:
+                    ucn_w = None
+
+                def _sl(w):
+                    return None if w is None else np.asarray(w)[:I1]
+
+                p1_kw = dict(
+                    clip=(dcfg.allowed_llr_range.start,
+                          dcfg.allowed_llr_range.end),
+                    qms_qbit=(dcfg.qms_qbit
+                              if dcfg.decoder_type == DecoderType.QMS
+                              else None),
+                    cn_weights=_sl(cn_w), vn_weights=_sl(vn_w),
+                    ucn_weights=_sl(ucn_w),
+                    sum_product=dcfg.decoder_type == DecoderType.SP,
+                    interpret=interp,
+                )
+
+            def _compact_idx(ok1, K):
+                # scatter-compact the failed rows into K slots (argsort over
+                # the 256k-word batches costs more than phase 1 itself)
+                fail = ~ok1
+                pos = jnp.cumsum(fail) - 1  # slot for each failed row
+                rows = jnp.arange(fail.shape[0], dtype=jnp.int32)
+                idx = jnp.zeros(K, jnp.int32).at[
+                    jnp.where(fail, pos, K)  # accepted rows -> dropped slot K
+                ].set(rows, mode="drop")
+                nf = fail.sum()
+                valid = jnp.arange(K) < nf
+                return idx, valid, nf
+
+            def _counts(be, fe, frames):
+                return ErrorCounts(
+                    bit_errors=jnp.stack([be]),
+                    total_bits=jnp.asarray(frames * nz_bits, jnp.float32),
+                    frame_errors=jnp.stack([fe]),
+                    total_frames=jnp.asarray(frames, jnp.float32),
+                )
 
             if self.mesh is not None:
                 n_dev = int(np.prod(self.mesh.devices.shape))
@@ -167,12 +233,53 @@ class MonteCarloCampaign:
                     c = count_errors(bits, out, convention)
                     return jax.tree.map(lambda v: jax.lax.psum(v, axis), c)
 
-                return jax.jit(
+                self._exact_step = jax.jit(
                     jax.shard_map(
                         shard_fn, mesh=self.mesh, in_specs=(P(), P()),
                         out_specs=P(), check_vma=False,
                     )
                 )
+
+                if self.ee:
+                    # mesh early exit (round 5, VERDICT r4 item 5): phase-1
+                    # stats decode + SHARD-LOCAL compaction + full re-decode
+                    # per shard; counts psum, per-batch escalation max pmax.
+                    # The overflow threshold (early_exit_capacity) is per
+                    # DEVICE; an overflowing window is redone exactly by the
+                    # mesh full-unroll step on the same keys.
+                    fused_stats = FusedMinsumDecoder.from_decoder(
+                        decoder, self.params, emit_stats=True, interpret=interp
+                    )
+                    phase1 = FusedMinsumDecoder(
+                        decoder.graph, n_iterations=I1, emit_stats=True, **p1_kw
+                    )
+                    K = max(1, min(self._ee_cap, per_dev))
+                    self._ee_cap = K
+
+                    def ee_shard_fn(key, sigma):
+                        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                        llr, _ = channel.sample(
+                            k, per_dev, jnp.full((per_dev,), sigma), True
+                        )
+                        ok1, be1v, fe1v = phase1(llr)
+                        be1 = (be1v * ok1).sum()
+                        fe1 = (fe1v & ok1).sum().astype(jnp.float32)
+                        idx, valid, nf = _compact_idx(ok1, K)
+                        _, be2v, fe2v = fused_stats(llr[idx])
+                        be2 = (be2v * valid).sum()
+                        fe2 = (fe2v & valid).sum().astype(jnp.float32)
+                        c = _counts(be1 + be2, fe1 + fe2, per_dev)
+                        c = jax.tree.map(lambda v: jax.lax.psum(v, axis), c)
+                        return c, jax.lax.pmax(nf, axis)
+
+                    self._ee_step = jax.jit(
+                        jax.shard_map(
+                            ee_shard_fn, mesh=self.mesh, in_specs=(P(), P()),
+                            out_specs=(P(), P()), check_vma=False,
+                        )
+                    )
+                self._step = self._ee_step if self.ee else self._exact_step
+                return
 
             count = jax.jit(partial(count_errors, convention=convention))
 
@@ -183,7 +290,6 @@ class MonteCarloCampaign:
             # workload (the old jit-boundary composition existed to dodge a
             # round-1 scoped-vmem OOM that the stream kernel does not have)
             stats_mode = cfg.all_zero and not cfg.fused_all_iterations
-            nz_bits = float(self.decoder.graph.N * self.decoder.graph.Z)
 
             if stats_mode:
                 fused_stats = FusedMinsumDecoder.from_decoder(
@@ -215,8 +321,10 @@ class MonteCarloCampaign:
                         out = out[None]
                     return count(bits, out)
 
+            self._exact_step = fused_step
             if not self.ee:
-                return fused_step
+                self._step = fused_step
+                return
 
             # ---- syndrome-gated early exit (round 4, VERDICT item 3) ----
             # phase 1: truncated unroll with the in-kernel syndrome epilogue;
@@ -226,50 +334,7 @@ class MonteCarloCampaign:
             # unroll (bit-identical to the full path for those words).
             # Overflow windows are re-done exactly by flush() via the
             # untruncated step above.
-            from ..ops.pallas.minsum import FusedMinsumDecoder
-            from ..structs import DecoderType, SharingMode
-
-            self._exact_step = fused_step
-            I1 = cfg.early_exit_iters
-            K = min(cfg.early_exit_capacity, cfg.batch_size)
-            dcfg = decoder.config
-            cn_w, ucn_w, vn_w = decoder._expanded_weights(self.params)
-            if dcfg.sharing.ucn == SharingMode.NONE:
-                ucn_w = None
-
-            def _sl(w):
-                return None if w is None else np.asarray(w)[:I1]
-
-            p1_kw = dict(
-                clip=(dcfg.allowed_llr_range.start, dcfg.allowed_llr_range.end),
-                qms_qbit=(dcfg.qms_qbit if dcfg.decoder_type == DecoderType.QMS
-                          else None),
-                cn_weights=_sl(cn_w), vn_weights=_sl(vn_w),
-                ucn_weights=_sl(ucn_w),
-                sum_product=dcfg.decoder_type == DecoderType.SP,
-                interpret=jax.default_backend() == "cpu",
-            )
-
-            def _compact_idx(ok1):
-                # scatter-compact the failed rows into K slots (argsort over
-                # the 256k-word batches costs more than phase 1 itself)
-                fail = ~ok1
-                pos = jnp.cumsum(fail) - 1  # slot for each failed row
-                rows = jnp.arange(fail.shape[0], dtype=jnp.int32)
-                idx = jnp.zeros(K, jnp.int32).at[
-                    jnp.where(fail, pos, K)  # accepted rows -> dropped slot K
-                ].set(rows, mode="drop")
-                nf = fail.sum()
-                valid = jnp.arange(K) < nf
-                return idx, valid, nf
-
-            def _counts(be, fe):
-                return ErrorCounts(
-                    bit_errors=jnp.stack([be]),
-                    total_bits=jnp.asarray(cfg.batch_size * nz_bits, jnp.float32),
-                    frame_errors=jnp.stack([fe]),
-                    total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
-                )
+            K = self._ee_cap
 
             if stats_mode:
                 phase1 = FusedMinsumDecoder(
@@ -284,13 +349,14 @@ class MonteCarloCampaign:
                     ok1, be1v, fe1v = phase1(llr)
                     be1 = (be1v * ok1).sum()
                     fe1 = (fe1v & ok1).sum().astype(jnp.float32)
-                    idx, valid, nf = _compact_idx(ok1)
+                    idx, valid, nf = _compact_idx(ok1, K)
                     _, be2v, fe2v = fused_stats(llr[idx])
                     be2 = (be2v * valid).sum()
                     fe2 = (fe2v & valid).sum().astype(jnp.float32)
-                    return _counts(be1 + be2, fe1 + fe2), nf
+                    return _counts(be1 + be2, fe1 + fe2, cfg.batch_size), nf
 
-                return ee_step
+                self._ee_step = self._step = ee_step
+                return
 
             phase1 = FusedMinsumDecoder(
                 decoder.graph, n_iterations=I1, emit_syndrome=True, **p1_kw
@@ -309,12 +375,13 @@ class MonteCarloCampaign:
                 )
                 app1, ok1 = phase1(llr)
                 be1, fe1 = _masked_count(bits, app1, ok1)
-                idx, valid, nf = _compact_idx(ok1)
+                idx, valid, nf = _compact_idx(ok1, K)
                 app2 = fused(llr[idx])
                 be2, fe2 = _masked_count(bits[idx], app2, valid)
-                return _counts(be1 + be2, fe1 + fe2), nf
+                return _counts(be1 + be2, fe1 + fe2, cfg.batch_size), nf
 
-            return ee_step
+            self._ee_step = self._step = ee_step
+            return
 
         def step(params, key, sigma):
             llr, bits = channel.sample(
@@ -328,7 +395,7 @@ class MonteCarloCampaign:
             step = jax.jit(step, in_shardings=(repl, None, None))
         else:
             step = jax.jit(step)
-        return lambda key, sigma: step(self.params, key, sigma)
+        self._exact_step = self._step = lambda key, sigma: step(self.params, key, sigma)
 
     # ------------------------------------------------------------------
     # Window accumulation: per-batch counter fetches cost a ~25 ms round
@@ -347,8 +414,10 @@ class MonteCarloCampaign:
         (ca, na), (cb, nb) = a, b
         return jax.tree.map(jnp.add, ca, cb), jnp.maximum(na, nb)
 
-    def _window(self, s: int, sigma):
+    def _window(self, s: int, sigma, step=None, is_ee=None):
         camp = self
+        if step is None:
+            step, is_ee = self._point_step(s, sigma)
 
         class _Window:
             """Device-side accumulator for one drain window.
@@ -368,10 +437,10 @@ class MonteCarloCampaign:
                 return len(self.keys)
 
             def dispatch(self, sub):
-                r = camp._step(sub, sigma)
+                r = step(sub, sigma)
                 if self.acc is None:
                     self.acc = r
-                elif camp.ee:
+                elif is_ee:
                     self.acc = camp._merge_ee(self.acc, r)
                 else:
                     self.acc = camp._add_counts(self.acc, r)
@@ -380,10 +449,9 @@ class MonteCarloCampaign:
             def flush(self):
                 if not self.keys:
                     return
-                if camp.ee:
+                if is_ee:
                     c, nf_max = self.acc
-                    if int(nf_max) > min(camp.cfg.early_exit_capacity,
-                                         camp.cfg.batch_size):
+                    if int(nf_max) > camp._ee_cap:
                         c = None
                         for sub in self.keys:
                             ce = camp._exact_step(sub, sigma)
@@ -397,6 +465,44 @@ class MonteCarloCampaign:
                 self.acc = None
 
         return _Window()
+
+    def _point_step(self, s: int, sigma):
+        """(step, is_ee) for one SNR point: the EE step when configured, the
+        exact step otherwise — with the auto-guard probing both ONCE per
+        point and keeping the faster (benchmarks/early_exit_r4.json measured
+        EE at 0.64x in the high-escalation regime; nothing should silently
+        lose to the full unroll)."""
+        if not self.ee:
+            return self._exact_step, False
+        if not self.cfg.early_exit_auto_guard:
+            return self._ee_step, True
+        if s not in self._ee_choice:
+            self._ee_choice[s] = self._probe_ee(s, sigma)
+        if self._ee_choice[s]:
+            return self._ee_step, True
+        return self._exact_step, False
+
+    def _probe_ee(self, s: int, sigma) -> bool:
+        """Time a short burst of EE vs exact steps at this sigma; counters
+        from every probe batch (including the compile/warm batch) are folded
+        into the campaign state, so probing wastes no words."""
+        import time as _time
+
+        n = max(self.cfg.early_exit_probe_batches, 1)
+        wps = {}
+        for name, step, is_ee in (("ee", self._ee_step, True),
+                                  ("full", self._exact_step, False)):
+            w = self._window(s, sigma, step=step, is_ee=is_ee)
+            self.key, sub = split_async(self.key)
+            w.dispatch(sub)
+            w.flush()  # compile + warm, off the clock
+            t0 = _time.perf_counter()
+            for _ in range(n):
+                self.key, sub = split_async(self.key)
+                w.dispatch(sub)
+            w.flush()  # blocks on the counter fetch
+            wps[name] = n * self.cfg.batch_size / (_time.perf_counter() - t0)
+        return wps["ee"] >= wps["full"]
 
     def run_snr_point(self, s: int, batches: int = 64) -> None:
         """Advance one SNR point by ``batches`` batches.
@@ -476,4 +582,5 @@ class MonteCarloCampaign:
         self.words = extras["words"].astype(np.int64)
         self.bit_errors = extras["bit_errors"]
         self.frame_errors = extras["frame_errors"]
-        self._step = self._build_step()  # rebake params (fused path captures them)
+        self._ee_choice = {}
+        self._build_step()  # rebake params (fused path captures them)

@@ -243,9 +243,11 @@ def test_montecarlo_early_exit_counters_match_full():
         ),
     )
     params = dec.init_params()
-    # 3 dB: a mix of phase-1 accepts and escalations at I1=2
+    # 3 dB: a mix of phase-1 accepts and escalations at I1=2; guard off so
+    # the EE path runs unconditionally (the auto-guard is timing-based)
     channel = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
-    kw = dict(batch_size=64, max_words_per_snr=256, min_frame_errors=0, seed=11)
+    kw = dict(batch_size=64, max_words_per_snr=256, min_frame_errors=0, seed=11,
+              early_exit_auto_guard=False)
     r_full = MonteCarloCampaign(
         dec, params, channel, CampaignConfig(engine="fused", **kw)
     ).run(verbose=False)[3.0]
@@ -264,6 +266,77 @@ def test_montecarlo_early_exit_counters_match_full():
         dec, params, channel,
         CampaignConfig(engine="fused", early_exit_iters=2,
                        early_exit_capacity=1, **kw),
+    )
+    r_of = mc_of.run(verbose=False)[3.0]
+    assert r_of["ber"] == r_full["ber"]
+    assert r_of["fer"] == r_full["fer"]
+
+
+def test_montecarlo_early_exit_auto_guard():
+    """The auto-guard probes EE vs exact once per SNR point, folds the probe
+    batches' counters in (no wasted words), and records a decision; either
+    outcome must leave the counters exact."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
+    mc = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(engine="fused", early_exit_iters=2, batch_size=64,
+                       max_words_per_snr=10 * 64, min_frame_errors=0, seed=11,
+                       early_exit_probe_batches=1),
+    )
+    r = mc.run(verbose=False)[3.0]
+    assert 0 in mc._ee_choice  # the probe ran and recorded a decision
+    # probe words are folded in: 2 variants x (1 warm + 1 timed) = 4 batches,
+    # then the run loop tops up to the budget
+    assert r["words"] == 10 * 64
+    assert r["fer"][-1] >= 0
+
+
+def test_montecarlo_early_exit_on_mesh():
+    """Round 5 (VERDICT r4 item 5): early exit composes with the device mesh
+    — shard-local compaction, psum'd counts, pmax'd escalation flag — and the
+    counters equal the mesh full-unroll step on identical words, including
+    the per-shard-overflow exact-redo path."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+    from neural_ldpc_tpu.parallel import make_mesh
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
+    mesh = make_mesh(8)
+    kw = dict(batch_size=64, max_words_per_snr=256, min_frame_errors=0,
+              seed=11, engine="fused", early_exit_auto_guard=False)
+    r_full = MonteCarloCampaign(
+        dec, params, channel, CampaignConfig(**kw), mesh=mesh
+    ).run(verbose=False)[3.0]
+    mc_ee = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(early_exit_iters=2, **kw), mesh=mesh,
+    )
+    assert mc_ee.ee and mc_ee._ee_step is not None
+    r_ee = mc_ee.run(verbose=False)[3.0]
+    assert r_ee["words"] == r_full["words"] == 256
+    assert r_ee["ber"] == r_full["ber"]
+    assert r_ee["fer"] == r_full["fer"]
+
+    # capacity 1 per shard: overflow -> mesh exact redo on the same keys
+    mc_of = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(early_exit_iters=2, early_exit_capacity=1, **kw),
+        mesh=mesh,
     )
     r_of = mc_of.run(verbose=False)[3.0]
     assert r_of["ber"] == r_full["ber"]
