@@ -70,3 +70,35 @@ def generator_from_parity_check(H: np.ndarray) -> np.ndarray:
 
 def rank_gf2(H: np.ndarray) -> int:
     return len(gf2_row_reduce(H)[1])
+
+
+def gf2_solve(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Solve ``A @ X = B (mod 2)`` for square invertible A ([n, n]), B [n, k].
+
+    Bit-packed Gauss-Jordan (rows live as uint8 bit vectors), so the
+    BG1-scale n = 17664 solve is minutes, not hours; raises ValueError if A
+    is singular over GF(2).
+    """
+    A = np.asarray(A, dtype=np.uint8) & 1
+    B = np.asarray(B, dtype=np.uint8) & 1
+    n = A.shape[0]
+    if A.shape != (n, n) or B.shape[0] != n:
+        raise ValueError(f"shape mismatch: A {A.shape}, B {B.shape}")
+    k = B.shape[1]
+    pad = (-n) % 8  # keep B byte-aligned in the packed augmentation
+    parts = [A] + ([np.zeros((n, pad), np.uint8)] if pad else []) + [B]
+    P = np.packbits(np.concatenate(parts, axis=1), axis=1, bitorder="little")
+    for col in range(n):
+        byte, bit = col >> 3, np.uint8(1 << (col & 7))
+        nz = np.nonzero(P[col:, byte] & bit)[0]
+        if nz.size == 0:
+            raise ValueError("matrix is singular over GF(2)")
+        piv = col + int(nz[0])
+        if piv != col:
+            P[[col, piv]] = P[[piv, col]]
+        mask = (P[:, byte] & bit).astype(bool)
+        mask[col] = False
+        np.bitwise_xor(P, P[col], out=P, where=mask[:, None])
+    start = (n + pad) >> 3
+    X = np.unpackbits(P[:, start:], axis=1, bitorder="little")
+    return np.ascontiguousarray(X[:, :k])

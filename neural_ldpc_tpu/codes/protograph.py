@@ -159,19 +159,41 @@ def nr_bg2_z16(with_gen_matrix: bool = True) -> CodeSpec:
     )
 
 
-def nr_bg1_like(Z: int = 384) -> CodeSpec:
+def nr_bg1_like(Z: int = 384, with_gen_matrix: bool = False) -> CodeSpec:
     """BG1-STRUCTURED QC-LDPC: 46x68, kb=22, E=316, Z<=384 (N*Z=26112 at the
     full lift).  Same dimensions/template as 3GPP 38.212 base graph 1
     (dual-diagonal core, identity staircase extension, two heavily-connected
-    leading info columns) with shifts from a seeded 4-cycle-free search —
-    the standardized shift tables are not reproducible in this offline
-    environment (scripts/make_bg1_like.py; divergence noted in PARITY.md).
-    No shipped generator matrix (27 MB at Z=384); derive one on demand via
+    leading info columns) with shifts from a seeded 4-cycle-free +
+    core-invertible search — the standardized shift tables are not
+    reproducible in this offline environment (scripts/make_bg1_like.py;
+    divergence noted in PARITY.md).
+
+    A generator matrix ships in compact QC form (49 KB,
+    nr_bg1_like_z384_genmatrix_qc.npz: one Z-bit polynomial per
+    parity/info block pair) and expands to the dense [K*Z, N*Z] systematic
+    form on request (220 MB at Z=384, ~2 s) — pass with_gen_matrix=True or
+    use get_code("nr_bg1_like_z384_gen").  For other lifts derive one via
+    ``codes.qc_encode.qc_generator_polys`` (seconds) or
     ``CodeSpec.with_derived_generator()``."""
+    gm = None
+    if with_gen_matrix:
+        from .qc_encode import expand_qc_generator, unpack_qc_polys
+
+        if Z == 384:
+            d = np.load(_resource("nr_bg1_like_z384_genmatrix_qc.npz"))
+            polys = unpack_qc_polys(d["polys_packed"], int(d["Z"]))
+        else:
+            from .qc_encode import qc_generator_polys
+
+            polys = qc_generator_polys(
+                load_basegraph(_resource("nr_bg1_like.pcm")), Z
+            )
+        gm = expand_qc_generator(polys, Z)
     return CodeSpec(
         name=f"nr_bg1_like_z{Z}",
         basegraph=load_basegraph(_resource("nr_bg1_like.pcm")),
         Z=Z,
+        gen_matrix=gm,
     )
 
 
@@ -179,6 +201,7 @@ _REGISTRY = {
     "wman_n576_r34_z24": wman_n576,
     "nr_bg2_set0_z16": nr_bg2_z16,
     "nr_bg1_like_z384": nr_bg1_like,
+    "nr_bg1_like_z384_gen": lambda: nr_bg1_like(with_gen_matrix=True),
 }
 
 

@@ -17,9 +17,6 @@ from neural_ldpc_tpu.models import BoostedNeuralDecoder, BoostedDecoderConfig
 from neural_ldpc_tpu.structs import DecoderType, NodeWeightSharingConfig
 from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder
 
-print("device:", jax.devices()[0], flush=True)
-
-
 def synth_bg1(seed=0, M=46, N=68, max_shift=383):
     """BG1-like protograph: row degrees ~5-10, first M cols form a staircase
     so every check has degree >= 2."""
@@ -37,127 +34,133 @@ def synth_bg1(seed=0, M=46, N=68, max_shift=383):
     return bg
 
 
-bg = synth_bg1()
-results = {}
-for Z, modes, B in [(16, ("matmul", "roll"), 512), (128, ("roll",), 256)]:
-    g = TannerGraph.from_basegraph(bg, Z)
-    print(f"Z={Z}: N*Z={g.N*Z} E={g.E} E*Z={g.E*Z} max_deg={g.max_cn_degree}", flush=True)
-    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
-        n_iterations=10, decoder_type=DecoderType.MS,
-        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0), routing="edge"))
-    p = dec.init_params()
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(B, g.N, Z)).astype(np.float32) * 3)
-    ref = np.asarray(dec.apply(p, x)[-1])
-    cw, uw, vw = dec._expanded_weights(p)
-    # XLA decode throughput at this scale (VERDICT r3 item 7: the Z=128
-    # fused number had no committed comparison)
-    fx = jax.jit(lambda xx: dec.apply(p, xx)[-1])
-    jax.block_until_ready(fx(x))
-    reps = 20 if Z == 16 else 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o = fx(x)
-    jax.block_until_ready(o)
-    xla_wps = B * reps / (time.perf_counter() - t0)
-    results[f"Z{Z}_xla_decode"] = {"words_per_s": round(xla_wps)}
-    print(f"Z{Z}_xla_decode", json.dumps(results[f"Z{Z}_xla_decode"]), flush=True)
-    for mode in modes:
-        ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
-                                            stream_outputs=False, routing=mode)
-        t0 = time.time()
-        out = np.asarray(ft.apply(cw, uw, vw, x)[-1])
-        compile_s = time.time() - t0
-        agree = float(((out < 0) == (ref < 0)).mean())
-        maxd = float(np.abs(out - ref).max())
-        # throughput
-        fn = jax.jit(lambda xx: ft.apply(cw, uw, vw, xx)[-1])
-        jax.block_until_ready(fn(x))
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    bg = synth_bg1()
+    results = {}
+    for Z, modes, B in [(16, ("matmul", "roll"), 512), (128, ("roll",), 256)]:
+        g = TannerGraph.from_basegraph(bg, Z)
+        print(f"Z={Z}: N*Z={g.N*Z} E={g.E} E*Z={g.E*Z} max_deg={g.max_cn_degree}", flush=True)
+        dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+            n_iterations=10, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0), routing="edge"))
+        p = dec.init_params()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(B, g.N, Z)).astype(np.float32) * 3)
+        ref = np.asarray(dec.apply(p, x)[-1])
+        cw, uw, vw = dec._expanded_weights(p)
+        # XLA decode throughput at this scale (VERDICT r3 item 7: the Z=128
+        # fused number had no committed comparison)
+        fx = jax.jit(lambda xx: dec.apply(p, xx)[-1])
+        jax.block_until_ready(fx(x))
+        reps = 20 if Z == 16 else 10
         t0 = time.perf_counter()
         for _ in range(reps):
-            o = fn(x)
+            o = fx(x)
         jax.block_until_ready(o)
-        wps = B * reps / (time.perf_counter() - t0)
-        key = f"Z{Z}_{mode}"
-        results[key] = {"compile_s": round(compile_s, 1), "agree": agree,
-                        "maxdiff": maxd, "words_per_s": round(wps),
-                        "store_space": "hbm" if ft.meta.hbm_store else "vmem",
-                        "speedup_vs_xla": round(wps / xla_wps, 2)}
-        print(key, json.dumps(results[key]), flush=True)
+        xla_wps = B * reps / (time.perf_counter() - t0)
+        results[f"Z{Z}_xla_decode"] = {"words_per_s": round(xla_wps)}
+        print(f"Z{Z}_xla_decode", json.dumps(results[f"Z{Z}_xla_decode"]), flush=True)
+        for mode in modes:
+            ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
+                                                stream_outputs=False, routing=mode)
+            t0 = time.time()
+            out = np.asarray(ft.apply(cw, uw, vw, x)[-1])
+            compile_s = time.time() - t0
+            agree = float(((out < 0) == (ref < 0)).mean())
+            maxd = float(np.abs(out - ref).max())
+            # throughput
+            fn = jax.jit(lambda xx: ft.apply(cw, uw, vw, xx)[-1])
+            jax.block_until_ready(fn(x))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = fn(x)
+            jax.block_until_ready(o)
+            wps = B * reps / (time.perf_counter() - t0)
+            key = f"Z{Z}_{mode}"
+            results[key] = {"compile_s": round(compile_s, 1), "agree": agree,
+                            "maxdiff": maxd, "words_per_s": round(wps),
+                            "store_space": "hbm" if ft.meta.hbm_store else "vmem",
+                            "speedup_vs_xla": round(wps / xla_wps, 2)}
+            print(key, json.dumps(results[key]), flush=True)
 
-# training capacity frontier (round 4: store_space='hbm' streams the message
-# state through HBM per degree-class chunk, so construction succeeds far past
-# the round-3 Z=64 VMEM wall; record where the constructor places each lift)
-for Zc in (96, 128, 192, 256, 384):
-    g = TannerGraph.from_basegraph(bg, Zc)
-    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
-        n_iterations=5, decoder_type=DecoderType.MS,
-        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
-    try:
+    # training capacity frontier (round 4: store_space='hbm' streams the message
+    # state through HBM per degree-class chunk, so construction succeeds far past
+    # the round-3 Z=64 VMEM wall; record where the constructor places each lift)
+    for Zc in (96, 128, 192, 256, 384):
+        g = TannerGraph.from_basegraph(bg, Zc)
+        dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+            n_iterations=5, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+        try:
+            ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
+            results[f"Z{Zc}_train_capacity"] = {
+                "raised": False,
+                "store_space": "hbm" if ft.meta.hbm_store else "vmem",
+                "bt": ft.bt,
+            }
+        except ValueError as e:
+            results[f"Z{Zc}_train_capacity"] = {"raised": True, "msg": str(e)[:120]}
+        print(f"Z{Zc}_train_capacity",
+              json.dumps(results[f"Z{Zc}_train_capacity"]), flush=True)
+
+
+    def bench_train(Zt, B=128, n_iter=5):
+        g = TannerGraph.from_basegraph(bg, Zt)
+        dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+            n_iterations=n_iter, decoder_type=DecoderType.MS,
+            sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
         ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
-        results[f"Z{Zc}_train_capacity"] = {
-            "raised": False,
+        p = dec.init_params()
+        cw, uw, vw = dec._expanded_weights(p)
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(B, g.N, Zt)).astype(np.float32) * 3)
+
+        def loss_fused(c):
+            return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, x)[-1]))
+
+        def loss_xla(pp):
+            return jnp.mean(jax.nn.sigmoid(dec.apply(pp, x)[-1]))
+
+        t0 = time.time()
+        gf = jax.jit(jax.grad(loss_fused))
+        gr = jax.block_until_ready(gf(cw))
+        compile_s = round(time.time() - t0, 1)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            gg = gf(cw)
+        jax.block_until_ready(gg)
+        fused_wps = B * reps / (time.perf_counter() - t0)
+
+        gx = jax.jit(jax.grad(loss_xla))
+        jax.block_until_ready(gx(p))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            gg = gx(p)
+        jax.block_until_ready(gg)
+        xla_wps = B * reps / (time.perf_counter() - t0)
+
+        results[f"Z{Zt}_train"] = {
+            "compile_s": compile_s,
+            "grad_finite": bool(np.isfinite(np.asarray(gr)).all()),
+            "grad_norm": float(jnp.linalg.norm(gr)),
             "store_space": "hbm" if ft.meta.hbm_store else "vmem",
             "bt": ft.bt,
+            "fused_words_per_s": round(fused_wps),
+            "xla_words_per_s": round(xla_wps),
+            "speedup_vs_xla": round(fused_wps / xla_wps, 2),
         }
-    except ValueError as e:
-        results[f"Z{Zc}_train_capacity"] = {"raised": True, "msg": str(e)[:120]}
-    print(f"Z{Zc}_train_capacity",
-          json.dumps(results[f"Z{Zc}_train_capacity"]), flush=True)
+        print(f"Z{Zt}_train", json.dumps(results[f"Z{Zt}_train"]), flush=True)
 
 
-def bench_train(Zt, B=128, n_iter=5):
-    g = TannerGraph.from_basegraph(bg, Zt)
-    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
-        n_iterations=n_iter, decoder_type=DecoderType.MS,
-        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
-    ft = FusedTrainDecoder.from_decoder(dec, routing="roll")
-    p = dec.init_params()
-    cw, uw, vw = dec._expanded_weights(p)
-    x = jnp.asarray(np.random.default_rng(2).normal(size=(B, g.N, Zt)).astype(np.float32) * 3)
+    for Zt in (48, 64, 128):
+        bench_train(Zt)
 
-    def loss_fused(c):
-        return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, x)[-1]))
-
-    def loss_xla(pp):
-        return jnp.mean(jax.nn.sigmoid(dec.apply(pp, x)[-1]))
-
-    t0 = time.time()
-    gf = jax.jit(jax.grad(loss_fused))
-    gr = jax.block_until_ready(gf(cw))
-    compile_s = round(time.time() - t0, 1)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        gg = gf(cw)
-    jax.block_until_ready(gg)
-    fused_wps = B * reps / (time.perf_counter() - t0)
-
-    gx = jax.jit(jax.grad(loss_xla))
-    jax.block_until_ready(gx(p))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        gg = gx(p)
-    jax.block_until_ready(gg)
-    xla_wps = B * reps / (time.perf_counter() - t0)
-
-    results[f"Z{Zt}_train"] = {
-        "compile_s": compile_s,
-        "grad_finite": bool(np.isfinite(np.asarray(gr)).all()),
-        "grad_norm": float(jnp.linalg.norm(gr)),
-        "store_space": "hbm" if ft.meta.hbm_store else "vmem",
-        "bt": ft.bt,
-        "fused_words_per_s": round(fused_wps),
-        "xla_words_per_s": round(xla_wps),
-        "speedup_vs_xla": round(fused_wps / xla_wps, 2),
-    }
-    print(f"Z{Zt}_train", json.dumps(results[f"Z{Zt}_train"]), flush=True)
+    import os
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "bigcode_r4.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("DONE", flush=True)
 
 
-for Zt in (48, 64, 128):
-    bench_train(Zt)
-
-import os
-with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "bigcode_r4.json"), "w") as f:
-    json.dump(results, f, indent=1)
-print("DONE", flush=True)
+if __name__ == "__main__":
+    main()

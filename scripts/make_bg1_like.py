@@ -39,11 +39,16 @@ def build_mask(rng):
         mask[r, [0, 1]] = True
         cols = 2 + rng.choice(KB - 2, size=15, replace=False)
         mask[r, cols] = True
-    # dual-diagonal core parity sub-block (columns 22..25)
+    # dual-diagonal core parity sub-block (columns 22..25).  Round 5: the
+    # tap pattern is chosen so the core's ring determinant has an ODD number
+    # of monomial terms (det = x^a+x^b+x^c here) — an even count vanishes at
+    # x=1 for EVERY shift assignment, making the parity part structurally
+    # singular and a systematic QC generator impossible (the r4 pattern had
+    # that flaw; see codes/qc_encode.py)
     mask[0, KB] = mask[0, KB + 1] = True
-    mask[1, KB] = mask[1, KB + 1] = mask[1, KB + 2] = True
-    mask[2, KB + 1] = mask[2, KB + 2] = mask[2, KB + 3] = True
-    mask[3, KB] = mask[3, KB + 3] = True
+    mask[1, KB + 1] = mask[1, KB + 2] = True
+    mask[2, KB + 2] = mask[2, KB + 3] = True
+    mask[3, KB] = mask[3, KB + 1] = mask[3, KB + 3] = True
     # extension rows: one identity column each (staircase), plus info/core taps
     used = int(mask.sum())
     ext_rows = M - CORE_ROWS
@@ -100,6 +105,27 @@ def assign_shifts(mask, rng):
     raise RuntimeError("4-cycle repair did not converge")
 
 
+def core_invertible(shifts, lifts=(8, 16, 24, 128, 384)):
+    """The encoder solves H_p p = H_i s; with the identity staircase, H_p is
+    invertible iff the 4x4-block dual-diagonal core B is (3GPP BG1 fixes a
+    shift PATTERN to guarantee this for every Z — with searched shifts we
+    must check).  Verified at every lift the tests/genmatrix ship."""
+    from neural_ldpc_tpu.codes.gf2 import gf2_solve
+
+    core = [(r, c) for r in range(CORE_ROWS)
+            for c in range(KB, KB + CORE_COLS) if shifts[r, c] >= 0]
+    for Z in lifts:
+        B = np.zeros((CORE_ROWS * Z, CORE_ROWS * Z), np.uint8)
+        z = np.arange(Z)
+        for r, c in core:
+            B[r * Z + z, (c - KB) * Z + (z + shifts[r, c]) % Z] = 1
+        try:
+            gf2_solve(B, np.zeros((CORE_ROWS * Z, 0), np.uint8))
+        except ValueError:
+            return False
+    return True
+
+
 def main():
     from neural_ldpc_tpu.codes.gf2 import rank_gf2
     from neural_ldpc_tpu.codes.tanner import TannerGraph
@@ -107,7 +133,15 @@ def main():
     rng = np.random.default_rng(SEED)
     mask = build_mask(rng)
     assert int(mask.sum()) == E_TARGET, int(mask.sum())
-    shifts = assign_shifts(mask, rng)
+    # round 5: redraw until the parity core is ring-invertible at every
+    # shipped lift, so a QC generator exists (codes/qc_encode.py)
+    for attempt in range(100):
+        shifts = assign_shifts(mask, rng)
+        if core_invertible(shifts):
+            print(f"core invertible (attempt {attempt})")
+            break
+    else:
+        raise RuntimeError("no invertible core found; change SEED")
 
     # validations
     g384 = TannerGraph.from_basegraph(shifts, ZMAX)

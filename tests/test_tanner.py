@@ -193,3 +193,61 @@ def test_nr_bg1_like_resource():
     g8 = TannerGraph.from_basegraph(code.basegraph, 8)
     H8 = g8.lifted_parity_check_matrix()
     assert rank_gf2(H8) == H8.shape[0]
+
+
+def test_qc_generator_small_lift_matches_parity():
+    """codes/qc_encode.py: the QC-form generator (one Z-bit polynomial per
+    parity/info block pair, derived by a single bit-packed GF(2) solve)
+    expands to a dense systematic G with H @ G.T = 0, and the response to
+    info bit (i, z) is the z-rotation of the response to (i, 0) — the QC
+    property that lets the BG1-scale generator ship as 49 KB instead of
+    220 MB."""
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.codes.qc_encode import (
+        expand_qc_generator, pack_qc_polys, qc_generator_polys, unpack_qc_polys,
+    )
+
+    code = get_code("nr_bg1_like_z384")
+    Z = 8
+    polys = qc_generator_polys(code.basegraph, Z)
+    M = code.basegraph.shape[0]
+    K = code.N - M
+    assert polys.shape == (M, K, Z)
+    G = expand_qc_generator(polys, Z)
+    g = TannerGraph.from_basegraph(code.basegraph, Z)
+    H = g.lifted_parity_check_matrix()
+    assert not ((H.astype(np.int64) @ G.T.astype(np.int64)) % 2).any()
+    # systematic info part
+    assert np.array_equal(G[:, : K * Z], np.eye(K * Z, dtype=np.uint8))
+    # QC rotation property via the dense expansion
+    for i, z in ((0, 3), (7, 5)):
+        resp0 = G[i * Z, K * Z:].reshape(M, Z)
+        respz = G[i * Z + z, K * Z:].reshape(M, Z)
+        assert np.array_equal(respz, np.roll(resp0, z, axis=1))
+    # pack/unpack round trip
+    assert np.array_equal(unpack_qc_polys(pack_qc_polys(polys), Z), polys)
+
+
+@pytest.mark.slow
+def test_bg1_gen_registry_random_codewords():
+    """get_code("nr_bg1_like_z384_gen") ships a generator whose random
+    codewords satisfy every lifted check — the capability the reference has
+    only for BG2/Z=16 (AWGNPassedDatagen.py:200-203), at BG1 scale.  Slow:
+    expands the 220 MB dense G."""
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+
+    code = get_code("nr_bg1_like_z384_gen")
+    assert code.gen_matrix is not None
+    assert code.gen_matrix.shape == (code.n_info_bits, code.n_bits)
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    rng = np.random.default_rng(3)
+    info = rng.integers(0, 2, size=(4, code.n_info_bits)).astype(np.uint8)
+    cw = (info.astype(np.int64) @ code.gen_matrix.astype(np.int64) % 2).astype(
+        np.uint8).reshape(4, code.N, code.Z)
+    syn = np.zeros((4, g.M, code.Z), np.uint8)
+    z = np.arange(code.Z)
+    for e in range(g.E):
+        i, j, s = (int(g.cn_of_edge[e]), int(g.vn_of_edge[e]),
+                   int(g.shift_of_edge[e]))
+        syn[:, i, z] ^= cw[:, j, (z + s) % code.Z]
+    assert not syn.any()
