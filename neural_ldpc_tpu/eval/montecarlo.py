@@ -69,6 +69,15 @@ class CampaignConfig:
     # (no words are wasted).  False = always EE (r4 behavior).
     early_exit_auto_guard: bool = True
     early_exit_probe_batches: int = 8
+    # Round 5: sample the AWGN channel INSIDE the decode kernel (stats-only
+    # all-zero campaigns, single device, VMEM-resident codes).  The r4 trace
+    # (benchmarks/mfu_r4.json ee_step_trace) measured XLA threefry sampling
+    # at 36.4 ns/word — as much as the phase-1 x3 decode itself; in-kernel
+    # Box-Muller over a counter-hash removes it plus the [NZp, B] HBM llr
+    # round-trip.  DIFFERENT random stream than jax.random (statistically
+    # equivalent, deterministic per seed); counters remain exactly
+    # reproducible for a given config.  "auto" = on when eligible.
+    kernel_channel_sampling: str = "off"  # "off" | "on" | "auto"
 
 
 class MonteCarloCampaign:
@@ -106,6 +115,12 @@ class MonteCarloCampaign:
                                  "early_exit_iters, or set all_zero")
             if not (0 < config.early_exit_iters < self.n_iters):
                 raise ValueError("early_exit_iters must be in (0, n_iterations)")
+        if config.kernel_channel_sampling == "on" and (
+            mesh is not None or not config.all_zero or config.fused_all_iterations
+        ):
+            raise ValueError("kernel_channel_sampling='on' needs the single-"
+                             "device stats mode (all_zero, final-only, no "
+                             "mesh); use 'auto' to fall back silently")
         S = len(channel.sigma)
         n_cols = 1 if self.fused and not config.fused_all_iterations else self.n_iters
         self.key = jax.random.PRNGKey(config.seed)
@@ -151,6 +166,7 @@ class MonteCarloCampaign:
         channel, decoder, cfg = self.channel, self.decoder, self.cfg
         self._ee_step = None
         self._ee_cap = min(cfg.early_exit_capacity, cfg.batch_size)
+        self.kernel_sampling = False
 
         if self.fused:
             from jax.sharding import PartitionSpec as P
@@ -291,24 +307,59 @@ class MonteCarloCampaign:
             # round-1 scoped-vmem OOM that the stream kernel does not have)
             stats_mode = cfg.all_zero and not cfg.fused_all_iterations
 
+            if cfg.kernel_channel_sampling not in ("off", "on", "auto"):
+                raise ValueError("kernel_channel_sampling: off | on | auto")
+            sampled_full = None
+            if cfg.kernel_channel_sampling != "off" and stats_mode:
+                try:
+                    sampled_full = FusedMinsumDecoder.from_decoder(
+                        self.decoder, self.params, emit_stats=True,
+                        sample_channel=True, interpret=interp,
+                    )
+                except ValueError:
+                    if cfg.kernel_channel_sampling == "on":
+                        raise
+            self.kernel_sampling = sampled_full is not None
+
+            def _seed_of(key):
+                # one scalar threefry draw per batch keys the in-kernel
+                # counter hash (each tile further mixes its program id)
+                return jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+
             if stats_mode:
                 fused_stats = FusedMinsumDecoder.from_decoder(
                     self.decoder, self.params, emit_stats=True,
                     interpret=jax.default_backend() == "cpu",
                 )
 
-                @jax.jit
-                def fused_step(key, sigma):
-                    llr, _ = channel.sample(
-                        key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), True
-                    )
-                    _, be, fe = fused_stats(llr)
-                    return ErrorCounts(
-                        bit_errors=jnp.stack([be.sum()]),
-                        total_bits=jnp.asarray(cfg.batch_size * nz_bits, jnp.float32),
-                        frame_errors=jnp.stack([fe.sum().astype(jnp.float32)]),
-                        total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
-                    )
+                if self.kernel_sampling:
+                    @jax.jit
+                    def fused_step(key, sigma):
+                        ok, be, fe = sampled_full.sample_stats(
+                            _seed_of(key), sigma, cfg.batch_size
+                        )
+                        return ErrorCounts(
+                            bit_errors=jnp.stack([be.sum()]),
+                            total_bits=jnp.asarray(
+                                cfg.batch_size * nz_bits, jnp.float32),
+                            frame_errors=jnp.stack(
+                                [fe.sum().astype(jnp.float32)]),
+                            total_frames=jnp.asarray(
+                                cfg.batch_size, jnp.float32),
+                        )
+                else:
+                    @jax.jit
+                    def fused_step(key, sigma):
+                        llr, _ = channel.sample(
+                            key, cfg.batch_size, jnp.full((cfg.batch_size,), sigma), True
+                        )
+                        _, be, fe = fused_stats(llr)
+                        return ErrorCounts(
+                            bit_errors=jnp.stack([be.sum()]),
+                            total_bits=jnp.asarray(cfg.batch_size * nz_bits, jnp.float32),
+                            frame_errors=jnp.stack([fe.sum().astype(jnp.float32)]),
+                            total_frames=jnp.asarray(cfg.batch_size, jnp.float32),
+                        )
             else:
                 def fused_step(key, sigma):
                     # composed from separately-jitted stages: inlining keeps
@@ -337,6 +388,34 @@ class MonteCarloCampaign:
             K = self._ee_cap
 
             if stats_mode:
+                if self.kernel_sampling:
+                    # phase 1 samples IN KERNEL and re-exports the llr; the
+                    # compacted escalations re-decode from it.  The sampled
+                    # full-unroll step (same seed derivation, same batch
+                    # tile) generates identical words, so overflow redos and
+                    # the auto-guard probe stay exact.
+                    phase1 = FusedMinsumDecoder(
+                        decoder.graph, n_iterations=I1, emit_stats=True,
+                        sample_channel=True, emit_chan=True,
+                        bt=sampled_full.bt, **p1_kw
+                    )
+
+                    @jax.jit
+                    def ee_step(key, sigma):
+                        (ok1, be1v, fe1v), llr = phase1.sample_stats(
+                            _seed_of(key), sigma, cfg.batch_size
+                        )
+                        be1 = (be1v * ok1).sum()
+                        fe1 = (fe1v & ok1).sum().astype(jnp.float32)
+                        idx, valid, nf = _compact_idx(ok1, K)
+                        _, be2v, fe2v = fused_stats(llr[idx])
+                        be2 = (be2v * valid).sum()
+                        fe2 = (fe2v & valid).sum().astype(jnp.float32)
+                        return _counts(be1 + be2, fe1 + fe2, cfg.batch_size), nf
+
+                    self._ee_step = self._step = ee_step
+                    return
+
                 phase1 = FusedMinsumDecoder(
                     decoder.graph, n_iterations=I1, emit_stats=True, **p1_kw
                 )

@@ -130,6 +130,18 @@ class _TrainMeta:
     # 2 = frame error) — the [NZp, B] APP never leaves VMEM, saving the
     # dominant HBM write+read per Monte-Carlo batch
     emit_stats: bool = False
+    # Round 5: sample the AWGN channel INSIDE the kernel (stats campaigns,
+    # all-zero words): the hardware PRNG (pltpu.prng_random_bits + one
+    # xorshift-multiply mixing round) feeds Box-Muller, llr = 2(1+sigma*n)/
+    # sigma^2 lands straight in a VMEM scratch, and the whole XLA threefry
+    # sample + [NZp, B] HBM write+read disappears.  Different random stream
+    # than jax.random (statistically equivalent; campaigns are Monte-Carlo).
+    # VMEM-resident decode path only.
+    sample_channel: bool = False
+    # with sample_channel: also write the sampled llr [NZp, B] to HBM (the
+    # early-exit engine re-decodes escalated words from it); without it the
+    # llr never leaves the kernel
+    emit_chan: bool = False
 
 
 def _round8(x: int) -> int:
@@ -817,12 +829,21 @@ def _ucn_mask_one(sign_rows, d: int, nc: int, meta: _TrainMeta):
 # ---------------------------------------------------------------------------
 def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_ref,
                 cnw_ref, vnw_ref, ucnw_ref, *refs):
+    if meta.sample_channel:
+        seed_ref, sigma_ref, *refs = refs
+    chan_out_ref = None
     if meta.store_msgs:
-        out_ref, store_ref, msg_scr, sums_scr = refs
+        out_ref, store_ref, *rest = refs
     elif meta.emit_syndrome:
-        out_ref, syn_ref, msg_scr, sums_scr = refs
+        out_ref, syn_ref, *rest = refs
+    elif meta.emit_chan:
+        out_ref, chan_out_ref, *rest = refs
     else:
-        out_ref, msg_scr, sums_scr = refs
+        out_ref, *rest = refs
+    if meta.sample_channel:
+        msg_scr, sums_scr, chan_scr = rest
+    else:
+        msg_scr, sums_scr = rest
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -833,11 +854,84 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
     if meta.store_msgs:
         store_ref[0] = msg_scr[:]  # message state ENTERING iteration i
 
-    chan = chan_ref[:]
+    if meta.sample_channel:
+        # in-kernel AWGN sampling (all-zero words, standard convention
+        # bit0 -> +1): a counter-based keyed hash (two lowbias32 mixing
+        # rounds — pure jnp uint32 ops, so the SAME stream runs on the TPU
+        # and in CPU interpret mode) feeds Box-Muller; llr = 2(1 + sigma*n)
+        # / sigma^2 lands in VMEM and the XLA threefry sample + [NZp, B]
+        # HBM llr round-trip disappear.  Sampled once per batch tile
+        # (i == 0); iterations re-read the scratch.
+        bi_tile = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _sample_chan():
+            full = chan_scr.shape
+            # Box-Muller yields a PAIR of normals per (u1, u2); generate for
+            # half the rows and use both cos and sin — halves the hash and
+            # transcendental count per value (int32 multiplies and
+            # transcendentals are the expensive ops on the VPU)
+            half = _round8(-(-full[0] // 2))
+            shape = (half, full[1])
+            key = seed_ref[0].astype(jnp.uint32) ^ (
+                bi_tile.astype(jnp.uint32) * jnp.uint32(2654435761)
+            )
+            rowc = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            colc = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            idx = rowc * jnp.uint32(shape[1]) + colc
+
+            def _mix(h):  # lowbias32: full-avalanche 32-bit finalizer
+                h = h ^ (h >> 16)
+                h = h * jnp.uint32(0x7FEB352D)
+                h = h ^ (h >> 15)
+                h = h * jnp.uint32(0x846CA68B)
+                return h ^ (h >> 16)
+
+            def _unit_uniform(draw):
+                h = _mix((idx * jnp.uint32(2) + jnp.uint32(draw)) ^ key)
+                h = _mix(h ^ (key * jnp.uint32(0x9E3779B9)))
+                # 24-bit mantissa resolution in [0, 1); Mosaic has no
+                # uint32->f32 cast, so hop through int32 (value < 2^24)
+                return (h >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                    1.0 / 16777216.0)
+
+            u1 = _unit_uniform(0)
+            u2 = _unit_uniform(1)
+            # 1 - u1 in (0, 1]: log is finite, |n| caps at ~5.8 sigma (same
+            # tail reach as f32 threefry normals)
+            r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+            theta = (2.0 * np.pi) * u2
+            sigma = sigma_ref[0]
+            base, scale = 2.0 / (sigma * sigma), 2.0 / sigma
+
+            def _mask_pad(llr, row0):
+                if meta.Zp == meta.Z:
+                    return llr
+                rowz = row0 + jax.lax.broadcasted_iota(jnp.int32, llr.shape, 0)
+                return jnp.where(rowz % meta.Zp < meta.Z, llr, 0.0)
+
+            # two static scratch writes (an in-kernel concatenate hangs the
+            # Mosaic compile at this shape)
+            chan_scr[0:half] = _mask_pad(base + scale * (r * jnp.cos(theta)), 0)
+            lo = full[0] - half
+            chan_scr[half:full[0]] = _mask_pad(
+                base + scale * (r[:lo] * jnp.sin(theta[:lo])), half)
+
+        chan = chan_scr[:]
+    else:
+        chan = chan_ref[:]
     # MS has no channel quantizer: chanq IS chan, and the separate stream is
     # dropped (a dummy ref rides in its place) — at BG1 scale the extra
     # [NZp, bt] window was the difference between fitting VMEM and not
-    chan_out = chanq_ref[:] if meta.qms_qbit is not None else chan
+    if meta.qms_qbit is not None:
+        chan_out = _quantize(chan, meta.qms_qbit) if meta.sample_channel else chanq_ref[:]
+    else:
+        chan_out = chan
+
+    if meta.emit_chan:
+        @pl.when(i == 0)
+        def _write_chan():
+            chan_out_ref[:] = chan
 
     if meta.has_vn_w:
         xa = chan * _w_vn(vnw_ref, meta)
@@ -929,8 +1023,8 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
     jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
 )
 def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
-             routing_dtype, interpret):
-    NZp, B = chan.shape
+             routing_dtype, interpret, seed=None, sigma=None):
+    NZp, B = (meta.NZp, chan.shape[1]) if meta.sample_channel else chan.shape
     EZp = meta.E * meta.Zp
     I = meta.n_iterations
     grid = (B // bt, I)
@@ -958,42 +1052,66 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         out_specs.append(
             pl.BlockSpec((1, EZp, bt), lambda bi, i: (i, 0, bi), memory_space=pltpu.VMEM)
         )
+    if meta.emit_chan:
+        out_shapes.append(jax.ShapeDtypeStruct((NZp, B), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        )
     if meta.emit_syndrome:
         out_shapes.append(jax.ShapeDtypeStruct((8, B), jnp.float32))
         out_specs.append(
             pl.BlockSpec((8, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
         )
+    chan_spec = (
+        # sampled mode: chan is an [8, B] dummy that only carries B; tile it
+        pl.BlockSpec((8, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+        if meta.sample_channel
+        else pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
+    )
     chanq_spec = (
         pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM)
-        if meta.qms_qbit is not None
+        if meta.qms_qbit is not None and not meta.sample_channel
         else pl.BlockSpec(chanq.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
     )
+    in_specs = [
+        chan_spec,
+        chanq_spec,
+        pl.BlockSpec(rt.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(r.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        iter_block((1,) + cnw.shape[1:]),
+        iter_block((1,) + vnw.shape[1:]),
+        iter_block((1,) + ucnw.shape[1:]),
+    ]
+    args = [chan, chanq, rt, r, cnw, vnw, ucnw]
+    scratch = [
+        pltpu.VMEM((EZp, bt), jnp.float32),
+        pltpu.VMEM((NZp, bt), jnp.float32),
+    ]
+    if meta.sample_channel:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args += [jnp.asarray(seed, jnp.int32).reshape(1),
+                 jnp.asarray(sigma, jnp.float32).reshape(1)]
+        scratch.append(pltpu.VMEM((NZp, bt), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((NZp, bt), lambda bi, i: (0, bi), memory_space=pltpu.VMEM),
-            chanq_spec,
-            pl.BlockSpec(rt.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(r.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            iter_block((1,) + cnw.shape[1:]),
-            iter_block((1,) + vnw.shape[1:]),
-            iter_block((1,) + ucnw.shape[1:]),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
-        scratch_shapes=[
-            pltpu.VMEM((EZp, bt), jnp.float32),
-            pltpu.VMEM((NZp, bt), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
         interpret=interpret,
-    )(chan, chanq, rt, r, cnw, vnw, ucnw)
+    )(*args)
     if meta.store_msgs:
-        return res[0], res[1], None
+        return res[0], res[1], None, None
     if meta.emit_syndrome:
-        return res[0], None, res[1]
-    return res, None, None
+        return res[0], None, res[1], None
+    if meta.emit_chan:
+        return res[0], None, None, res[1]
+    return (res[0] if isinstance(res, (tuple, list)) else res), None, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -1807,6 +1925,13 @@ class FusedTrainDecoder:
         # returns (ok [B], bit_errors [B], frame_error [B]) and the APP never
         # leaves VMEM; see _TrainMeta.emit_stats
         emit_stats: bool = False,
+        # stats-only campaigns: sample the AWGN channel inside the kernel
+        # (hardware PRNG + Box-Muller) — use apply_sampled(seed, sigma,
+        # batch); see _TrainMeta.sample_channel
+        sample_channel: bool = False,
+        # with sample_channel: also write the sampled llr to HBM (the
+        # early-exit engine re-decodes escalations from it)
+        emit_chan: bool = False,
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -1839,6 +1964,12 @@ class FusedTrainDecoder:
             raise ValueError("emit_stats is a stats-only decode mode; use "
                              "store_msgs=False, stream_outputs=False and not "
                              "emit_syndrome (stats row 0 IS the syndrome)")
+        if sample_channel and not emit_stats:
+            raise ValueError("sample_channel is a stats-only campaign mode "
+                             "(all-zero words); set emit_stats=True")
+        if emit_chan and not sample_channel:
+            raise ValueError("emit_chan re-exports the IN-KERNEL sampled llr; "
+                             "set sample_channel=True")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(
             graph, need_routing_operand=routing == "matmul")
@@ -1868,6 +1999,8 @@ class FusedTrainDecoder:
             stream_outputs=stream_outputs,
             emit_syndrome=emit_syndrome,
             emit_stats=emit_stats,
+            sample_channel=sample_channel,
+            emit_chan=emit_chan,
         )
         operand_bytes = 0
         if routing == "matmul":
@@ -1900,6 +2033,9 @@ class FusedTrainDecoder:
                 "hbm" if _vmem_bytes(self.meta, bt, operand_bytes) > limit else "vmem"
             )
         if store_space == "hbm":
+            if sample_channel:
+                raise ValueError("sample_channel is VMEM-resident only "
+                                 "(big codes keep the XLA channel sampler)")
             # big-code mode: messages stream HBM<->VMEM per degree-class chunk
             if routing != "roll":
                 raise ValueError(
@@ -1996,23 +2132,26 @@ class FusedTrainDecoder:
         w = jnp.pad(w, ((0, 0), (0, m.Np8 - m.N)))
         return jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.Np8, self.bt))
 
-    def _fwd_any(self, cnw, vnw, ucnw, chan, chanq):
+    def _fwd_any(self, cnw, vnw, ucnw, chan, chanq, seed=None, sigma=None):
+        """(outs, store, syn, sampled_chan) from whichever kernel fits."""
         if self.meta.hbm_store:
-            return _fwd_run_hbm(
+            outs, store, syn = _fwd_run_hbm(
                 chan, chanq, cnw, vnw, ucnw,
                 self.meta, self.bt, self.routing_dtype, self.interpret,
             )
+            return outs, store, syn, None
         return _fwd_run(
             chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
             self.meta, self.bt, self.routing_dtype, self.interpret,
+            seed=seed, sigma=sigma,
         )
 
     def _primal(self, cnw, vnw, ucnw, chan, chanq):
-        outs, _, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+        outs, _, _, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs
 
     def _vjp_fwd(self, cnw, vnw, ucnw, chan, chanq):
-        outs, store, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+        outs, store, _, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         return outs, (cnw, vnw, ucnw, chan, chanq, store, outs)
 
     def _vjp_bwd(self, res, g_outs):
@@ -2075,14 +2214,59 @@ class FusedTrainDecoder:
         if m.stream_outputs:
             outs_pre = self._vjp(cnw, vnw, ucnw, chan, chanq)
         else:
-            outs_pre, _, syn = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
+            outs_pre, _, syn, _ = self._fwd_any(cnw, vnw, ucnw, chan, chanq)
         if m.emit_stats:
             stats = outs_pre[0]  # [8, Bp]
             return stats[0, :B] > 0.5, stats[1, :B], stats[2, :B] > 0.5
         outs = jnp.clip(outs_pre, m.clip_lo, m.clip_hi)
+        return self._unpack_outs(outs, syn, B)
+
+    def _unpack_outs(self, outs, syn, B):
+        m = self.meta
         I = outs.shape[0]  # 1 when stream_outputs=False
         o = outs.reshape(I, m.N, m.Zp, outs.shape[2])[:, :, : m.Z, :B]
         o = jnp.transpose(o, (0, 3, 1, 2)).reshape(I, B, m.NZ)
         if m.emit_syndrome:
             return o, syn[0, :B] > 0.5
         return o
+
+    def apply_sampled(self, cn_w, ucn_w, vn_w, seed, sigma, batch: int):
+        """Stats-only decode with IN-KERNEL channel sampling (all-zero
+        words): no llr ever crosses XLA<->kernel.  ``seed`` int32 scalar
+        (vary per batch), ``sigma`` f32 noise std, ``batch`` static.
+
+        Returns (ok [B] bool, bit_errors [B], frame_error [B] bool); with
+        emit_chan additionally the sampled llr [B, N, Z] (the early-exit
+        engine re-decodes escalations from it)."""
+        m = self.meta
+        if not m.sample_channel:
+            raise ValueError("construct with sample_channel=True")
+        Bp = batch + (-batch) % self.bt
+        dummy_chan = jnp.zeros((8, Bp), jnp.float32)
+        dummy_q = jnp.zeros((8, 128), jnp.float32)
+        dummy = jnp.ones(
+            (m.n_iterations, 8, 1 if m.w_layout == "col" else 128), jnp.float32
+        )
+        ones_e = jnp.ones((m.n_iterations, m.E), jnp.float32)
+        ones_n = jnp.ones((m.n_iterations, m.N), jnp.float32)
+        cnw = (
+            self._pack_edge_w(cn_w if cn_w is not None else ones_e)
+            if (m.has_cn_w or m.has_ucn) else dummy
+        )
+        ucnw = (
+            self._pack_edge_w(ucn_w if ucn_w is not None else ones_e)
+            if m.has_ucn else dummy
+        )
+        vnw = (
+            self._pack_vn_w(vn_w if vn_w is not None else ones_n)
+            if m.has_vn_w else dummy
+        )
+        outs, _, _, chan = self._fwd_any(
+            cnw, vnw, ucnw, dummy_chan, dummy_q, seed=seed, sigma=sigma
+        )
+        stats = outs[0]
+        res = (stats[0, :batch] > 0.5, stats[1, :batch], stats[2, :batch] > 0.5)
+        if not m.emit_chan:
+            return res
+        llr = chan.T[:batch].reshape(batch, m.N, m.Zp)[:, :, : m.Z]
+        return res, llr

@@ -357,6 +357,13 @@ class FusedMinsumDecoder:
         # ALL-ZERO campaigns: __call__ -> (ok [B], bit_errors [B],
         # frame_error [B]); the APP never leaves the kernel
         emit_stats: bool = False,
+        # stats campaigns: sample the AWGN channel INSIDE the kernel — use
+        # sample_stats(seed, sigma, batch) instead of __call__ (round 5;
+        # ops/pallas/fused_train.py _TrainMeta.sample_channel)
+        sample_channel: bool = False,
+        # with sample_channel: sample_stats also returns the sampled llr
+        # [B, N, Z] (the early-exit engine re-decodes escalations from it)
+        emit_chan: bool = False,
         # forwarded to the stream kernel: "vmem" | "hbm" | "auto" message
         # residency (ops/pallas/fused_train.py)
         store_space: str = "auto",
@@ -369,6 +376,8 @@ class FusedMinsumDecoder:
             raise ValueError("emit_syndrome is a stream-engine epilogue")
         if emit_stats and (all_iterations or engine != "stream"):
             raise ValueError("emit_stats is a stream-engine, final-only mode")
+        if sample_channel and not emit_stats:
+            raise ValueError("sample_channel is a stats-only campaign mode")
         self.graph = graph
         self.emit_syndrome = emit_syndrome
         self.emit_stats = emit_stats
@@ -414,6 +423,8 @@ class FusedMinsumDecoder:
                 interpret=interpret,
                 emit_syndrome=emit_syndrome,
                 emit_stats=emit_stats,
+                sample_channel=sample_channel,
+                emit_chan=emit_chan,
                 store_space=store_space,
             )
             self.meta = self._delegate.meta
@@ -529,6 +540,16 @@ class FusedMinsumDecoder:
                 self._call_impl if self._delegate is None else self._delegate_impl
             )
         return self._jitted(chan_llr)
+
+    def sample_stats(self, seed, sigma, batch: int):
+        """Stats-only decode with in-kernel channel sampling: (ok [B],
+        bit_errors [B], frame_error [B]) — plus the sampled llr [B, N, Z]
+        when constructed with emit_chan=True.  ``seed`` int32 scalar (vary
+        per batch), ``sigma`` f32 noise std.  Call under jit."""
+        if self._delegate is None or not self._delegate.meta.sample_channel:
+            raise ValueError("construct with sample_channel=True")
+        cn_w, ucn_w, vn_w = self._w
+        return self._delegate.apply_sampled(cn_w, ucn_w, vn_w, seed, sigma, batch)
 
     def _delegate_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         cn_w, ucn_w, vn_w = self._w

@@ -618,3 +618,89 @@ def test_bg1_full_lift_decode_constructs():
                                         stream_outputs=False, interpret=True)
     assert ft.meta.hbm_store
     assert ft.bt == 128
+
+
+@pytest.mark.slow
+def test_fused_sample_channel_kernel():
+    """In-kernel AWGN sampling (round 5): counter-hash + Box-Muller inside
+    the stats kernel.  Pure-jnp uint32 hashing means the interpret-mode
+    stream IS the TPU stream: check moments, determinism, seed sensitivity,
+    and that re-decoding the EMITTED llr through the normal stats kernel
+    reproduces the counters exactly (the early-exit escalation contract)."""
+    from neural_ldpc_tpu.ops.pallas.fused_train import FusedTrainDecoder
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=5, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    p = dec.init_params()
+    cw, uw, vw = dec._expanded_weights(p)
+    ft = FusedTrainDecoder.from_decoder(
+        dec, store_msgs=False, stream_outputs=False, emit_stats=True,
+        sample_channel=True, emit_chan=True, interpret=True, bt=8)
+    sigma = 0.5
+    (ok, be, fe), llr = ft.apply_sampled(
+        cw, uw, vw, jnp.int32(1234), jnp.float32(sigma), 64)
+    llr = np.asarray(llr)
+    assert abs(llr.mean() - 2 / sigma**2) < 0.1      # E[llr] = 2/sigma^2
+    assert abs(llr.std() - 2 / sigma) < 0.05          # std = 2/sigma
+    n = (llr * sigma**2 / 2 - 1) / sigma              # implied noise
+    assert abs(float(((n - n.mean()) ** 4).mean() / n.std() ** 4) - 3) < 0.15
+    (_, _, _), llr2 = ft.apply_sampled(
+        cw, uw, vw, jnp.int32(1234), jnp.float32(sigma), 64)
+    assert np.array_equal(llr, np.asarray(llr2))      # deterministic
+    (_, _, _), llr3 = ft.apply_sampled(
+        cw, uw, vw, jnp.int32(99), jnp.float32(sigma), 64)
+    assert not np.array_equal(llr, np.asarray(llr3))  # seed-sensitive
+    fs = FusedTrainDecoder.from_decoder(
+        dec, store_msgs=False, stream_outputs=False, emit_stats=True,
+        interpret=True, bt=8)
+    ok4, be4, fe4 = fs.apply(cw, uw, vw, jnp.asarray(llr))
+    assert np.array_equal(np.asarray(ok), np.asarray(ok4))
+    assert np.array_equal(np.asarray(be), np.asarray(be4))
+    assert np.array_equal(np.asarray(fe), np.asarray(fe4))
+
+
+@pytest.mark.slow
+def test_montecarlo_kernel_sampling_counters():
+    """Campaigns with kernel_channel_sampling: deterministic per seed, and
+    the EE step's counters equal the sampled full unroll on IDENTICAL
+    in-kernel-sampled words (including the capacity-overflow redo)."""
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+
+    code = get_code("wman_n576_r34_z24")
+    g = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    dec = BoostedNeuralDecoder(g, BoostedDecoderConfig(
+        n_iterations=4, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0)))
+    params = dec.init_params()
+    channel = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
+    kw = dict(batch_size=64, max_words_per_snr=256, min_frame_errors=0,
+              seed=11, engine="fused", early_exit_auto_guard=False,
+              kernel_channel_sampling="on")
+    mc_full = MonteCarloCampaign(dec, params, channel, CampaignConfig(**kw))
+    assert mc_full.kernel_sampling
+    r_full = mc_full.run(verbose=False)[3.0]
+    assert r_full["words"] == 256 and r_full["fer"][-1] > 0
+    # deterministic across a rebuild with the same seed
+    r_again = MonteCarloCampaign(
+        dec, params, channel, CampaignConfig(**kw)).run(verbose=False)[3.0]
+    assert r_again["ber"] == r_full["ber"] and r_again["fer"] == r_full["fer"]
+    # EE on the SAME sampled words: counters exactly equal
+    r_ee = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(early_exit_iters=2, **kw)).run(verbose=False)[3.0]
+    assert r_ee["ber"] == r_full["ber"] and r_ee["fer"] == r_full["fer"]
+    # overflow: every failing batch redone exactly by the sampled full step
+    r_of = MonteCarloCampaign(
+        dec, params, channel,
+        CampaignConfig(early_exit_iters=2, early_exit_capacity=1, **kw)
+    ).run(verbose=False)[3.0]
+    assert r_of["ber"] == r_full["ber"] and r_of["fer"] == r_full["fer"]
+    # statistically consistent with the threefry path at the same SNR
+    kw2 = dict(kw, kernel_channel_sampling="off", max_words_per_snr=4096)
+    r_xla = MonteCarloCampaign(
+        dec, params, channel, CampaignConfig(**kw2)).run(verbose=False)[3.0]
+    assert r_xla["fer"][-1] > 0  # same regime; exact values differ by stream
