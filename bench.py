@@ -37,10 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_CPU_WORDS_PER_S = 171.8
 
 # (name, argv suffix, watchdog seconds).  Ordered cheapest-first so a later
-# hang can only ever cost its own stage.
+# hang can only ever cost its own stage.  "campaign" is reported in detail,
+# not as the headline value (it is a different metric: end-to-end
+# sample->decode->count throughput on the BASELINE config-5 deep-waterfall
+# workload, where the round-4/5 wins — one-jit stats steps, syndrome-gated
+# early exit with the auto-guard — actually live).
 STAGES = [
     ("xla", 240.0),
     ("fused", 420.0),
+    ("campaign", 420.0),
 ]
 
 
@@ -114,9 +119,56 @@ def run_stage(stage: str):
         # but each extra batch size costs a full recompile; 128k captures the
         # plateau at half the compile bill of 256k
         best, best_batch = _time_decode(fused, code, (16384, 65536, 131072))
+    elif stage == "campaign":
+        best, best_batch = _run_campaign_stage()
     else:
         raise SystemExit(f"unknown stage {stage!r}")
     print(json.dumps({"stage": stage, "value": best, "batch": best_batch}), flush=True)
+
+
+def _run_campaign_stage():
+    """End-to-end Monte-Carlo campaign words/s: one-jit sample->decode->count
+    steps (stats-only kernel) + syndrome-gated early exit behind the per-point
+    auto-guard, wman MS x10 at 5.5 dB (the deep-waterfall workload of the r3
+    38.8B-word floor campaign)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from neural_ldpc_tpu.channel import AWGNChannel, ChannelConfig
+    from neural_ldpc_tpu.codes import TannerGraph, get_code
+    from neural_ldpc_tpu.eval.montecarlo import CampaignConfig, MonteCarloCampaign
+    from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
+    from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
+
+    code = get_code("wman_n576_r34_z24")
+    graph = TannerGraph.from_basegraph(code.basegraph, code.Z)
+    decoder = BoostedNeuralDecoder(graph, BoostedDecoderConfig(
+        n_iterations=10, decoder_type=DecoderType.MS,
+        sharing=NodeWeightSharingConfig(cn=3, ucn=0, vn=0),
+        convention=Convention.STANDARD))
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "trained", "wman_ms10_base75ep.npz")
+    if os.path.exists(ckpt):
+        params = {k: jnp.asarray(v) for k, v in np.load(ckpt).items()
+                  if k.startswith("weight")}
+    else:
+        params = decoder.init_params()
+    B = 1048576  # measured r5: wall gaps amortize through 1M-word batches
+    camp = MonteCarloCampaign(decoder, params, AWGNChannel(
+        code, ChannelConfig(snr_db=(5.5,))), CampaignConfig(
+        batch_size=B, min_frame_errors=0, max_words_per_snr=10**15,
+        engine="fused", sync_every_batches=32, seed=1,
+        early_exit_iters=3, early_exit_probe_batches=2,
+        kernel_channel_sampling="auto"))
+    camp.run_snr_point(0, batches=2)  # compile + auto-guard probe, off clock
+    w0 = int(camp.words[0])
+    t0 = time.perf_counter()
+    camp.run_snr_point(0, batches=32)
+    wps = (int(camp.words[0]) - w0) / (time.perf_counter() - t0)
+    print(f"  campaign: {wps:,.0f} words/s end-to-end "
+          f"(ee choice {camp._ee_choice.get(0)}, "
+          f"kernel sampling {camp.kernel_sampling})", file=sys.stderr, flush=True)
+    return wps, B
 
 
 def main():
@@ -125,6 +177,7 @@ def main():
         return
 
     best = None
+    campaign = None
     for stage, budget in STAGES:
         t0 = time.perf_counter()
         try:
@@ -156,7 +209,9 @@ def main():
             f"(batch {result['batch']}, {dt:.0f}s)",
             file=sys.stderr, flush=True,
         )
-        if best is None or result["value"] > best["value"]:
+        if stage == "campaign":
+            campaign = result  # separate metric: end-to-end, not raw decode
+        elif best is None or result["value"] > best["value"]:
             best = result
 
     if best is None:
@@ -184,6 +239,11 @@ def main():
                     "engine": best["stage"],
                     "device": str(jax.devices()[0]),
                     "baseline": "torch reference CPU, same workload, 171.8 words/s",
+                    **({"campaign_words_per_s_e2e": round(campaign["value"], 1),
+                        "campaign_workload":
+                            "wman MS x10 @5.5dB sample->decode->count, "
+                            "one-jit stats steps + guarded early exit"}
+                       if campaign else {}),
                 },
             }
         )

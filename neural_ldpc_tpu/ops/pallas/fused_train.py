@@ -142,6 +142,12 @@ class _TrainMeta:
     # early-exit engine re-decodes escalated words from it); without it the
     # llr never leaves the kernel
     emit_chan: bool = False
+    # Mosaic scoped-VMEM budget (MB).  121 is the calibrated sweet spot
+    # (the compiler schedules TO the limit then overshoots a few MB;
+    # physical v5e VMEM is 128).  The full Z=384 BG1 decode's fixed stack
+    # requirement is 123.94 MB — 126 admits it with ~2 MB of physical
+    # headroom (decode-only; callers opt in via vmem_limit_mb).
+    vmem_limit_mb: int = 121
 
 
 def _round8(x: int) -> int:
@@ -1102,7 +1108,8 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
         out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=meta.vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(*args)
     if meta.store_msgs:
@@ -1285,7 +1292,8 @@ def _fwd_run_hbm(chan, chanq, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=meta.vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, cnw, vnw, ucnw)
     outs, store = res[0], res[1]
@@ -1579,7 +1587,8 @@ def _bwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs,
             pltpu.VMEM((EZp, bt), jnp.float32),
             pltpu.VMEM((NZp, bt), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=meta.vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, rt, r, cnw, vnw, ucnw, store, outs, g_outs)
     g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq = res
@@ -1871,7 +1880,8 @@ def _bwd_run_hbm(chan, chanq, cnw, vnw, ucnw, store, outs, g_outs,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=121 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=meta.vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(chan, chanq, cnw, vnw, ucnw, outs, g_outs, store)
     g_cnw_b, g_vnw_b, g_ucnw_b, g_chan, g_chanq, _ = res
@@ -1932,6 +1942,8 @@ class FusedTrainDecoder:
         # with sample_channel: also write the sampled llr to HBM (the
         # early-exit engine re-decodes escalations from it)
         emit_chan: bool = False,
+        # Mosaic scoped-VMEM budget override (MB); see _TrainMeta
+        vmem_limit_mb: int = 121,
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -2001,6 +2013,7 @@ class FusedTrainDecoder:
             emit_stats=emit_stats,
             sample_channel=sample_channel,
             emit_chan=emit_chan,
+            vmem_limit_mb=vmem_limit_mb,
         )
         operand_bytes = 0
         if routing == "matmul":

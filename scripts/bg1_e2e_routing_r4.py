@@ -75,10 +75,14 @@ def stage_bg1(results):
     entry = {"code": code.name, "N": g.N, "M": g.M, "Z": g.Z, "E": g.E,
              "n_bits": g.N * g.Z, "rate": round((g.N - g.M) / g.N, 4)}
 
-    # fused decode construct at the FULL Z=384 lift (roll routing)
+    # fused decode construct at the FULL Z=384 lift (roll routing).  The
+    # APP-emitting decode's fixed VMEM stack requirement is 123.94 MB
+    # (measured: 121-MB budget OOM'd by 2.94 MB) — raise the Mosaic budget
+    # to 126 MB (physical 128) for this kernel only.
     t0 = time.time()
     ft = FusedTrainDecoder.from_decoder(dec, store_msgs=False,
-                                        stream_outputs=False)
+                                        stream_outputs=False,
+                                        vmem_limit_mb=126)
     rng = np.random.default_rng(7)
     B = 256
     x = jnp.asarray(rng.normal(size=(B, g.N, g.Z)).astype(np.float32) * 3)

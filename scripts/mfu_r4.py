@@ -53,25 +53,28 @@ from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
 from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
 from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
 
-ROWS, COLS, CHAIN, GRID = 512, 1024, 256, 64
+ROWS, COLS, CHAIN, GRID, NACC = 512, 1024, 64, 64, 8
 
 
 def _sol_kernel(mix):
-    # Both bodies are chosen to defeat compile-time folding (measured: an
-    # affine chain with constant coefficients folds under Mosaic/LLVM
-    # fast-math, and min(|acc+a|, a) folds to `a` by value-range analysis
-    # once acc >= 0 — either yields "700 Tops/s").  |acc*c - a| and the
-    # min/abs mix below are non-affine with step-dependent values.
+    # Round 5 rewrite: the r4 version chained ONE serial accumulator, so the
+    # "ceiling" it measured was dependency LATENCY, not issue throughput —
+    # the real decode kernel beat it 1.64x.  NACC independent accumulators
+    # expose ILP; step values depend on the data (no folding; the r4 fma
+    # variant additionally folded to a constant — 910 "Tops/s").
     def kern(x_ref, o_ref):
         a = x_ref[...]
-        acc = a * 0.5
-        if mix == "fma":
-            for _ in range(CHAIN):
-                acc = jnp.abs(acc * 0.9999 - a)          # mul+sub+abs
-        else:  # decode mix: add + abs + min (the CN-update op classes)
-            for _ in range(CHAIN):
-                acc = jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
-        o_ref[...] = acc * 0.9  # output != input so chained reps keep moving
+        accs = [a * (0.25 + 0.125 * k) for k in range(NACC)]
+        for _ in range(CHAIN):
+            if mix == "fma":
+                accs = [jnp.abs(acc * 0.9999 - a) for acc in accs]  # mul+sub+abs
+            else:  # decode mix: add + abs + min (the CN-update op classes)
+                accs = [jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
+                        for acc in accs]
+        total = accs[0]
+        for acc in accs[1:]:
+            total = total + acc
+        o_ref[...] = total * 0.0625  # data-dependent output; reps keep moving
 
     return kern
 
@@ -99,9 +102,9 @@ def measure_sol(mix):
         x = fn(x)  # chained: each launch consumes the previous output
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / reps
-    total_ops = GRID * ROWS * COLS * CHAIN * ops_per_step
+    total_ops = GRID * ROWS * COLS * CHAIN * NACC * ops_per_step
     return {"mix": mix, "ops_per_launch": total_ops, "launch_s": dt,
-            "finite": bool(jnp.isfinite(x).all()),
+            "n_acc": NACC, "finite": bool(jnp.isfinite(x).all()),
             "tops_per_s": round(total_ops / dt / 1e12, 3)}
 
 
