@@ -115,10 +115,12 @@ def run_stage(stage: str):
         from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
 
         fused = FusedMinsumDecoder.from_decoder(decoder, params)
-        # throughput flattens past 64k (measured: 12.22M @64k vs 12.44M @256k)
-        # but each extra batch size costs a full recompile; 128k captures the
-        # plateau at half the compile bill of 256k
-        best, best_batch = _time_decode(fused, code, (16384, 65536, 131072))
+        # r5: the perfetto trace put kernel-only time at 17.85M words/s vs
+        # 14.4M benched — ~1.8 ms of per-dispatch tunnel overhead, which
+        # keeps amortizing through MUCH larger batches (each size is ~8s of
+        # compile)
+        best, best_batch = _time_decode(
+            fused, code, (65536, 262144, 1048576))
     elif stage == "campaign":
         best, best_batch = _run_campaign_stage()
     else:

@@ -58,8 +58,11 @@ class CampaignConfig:
     # words) but equality is empirical, not guaranteed.
     early_exit_iters: Optional[int] = None
     # max escalations per batch before the batch is re-decoded exactly with
-    # the full unroll (drain() detects the overflow and redoes that batch)
-    early_exit_capacity: int = 4096
+    # the full unroll (drain() detects the overflow and redoes that batch).
+    # None (round 5): max(4096, batch_size // 64) — a FIXED 4096 cap meant
+    # 1M-word batches overflowed on every window at 5.0 dB (escalation rate
+    # ~0.5%) and EE ran 0.71x; capacity must scale with the batch.
+    early_exit_capacity: Optional[int] = None
     # Round 5: measure before trusting — at the first window of each SNR
     # point, time a short burst of EE steps against the exact full-unroll
     # step and keep whichever is faster FOR THAT POINT.  In the high-error
@@ -78,6 +81,14 @@ class CampaignConfig:
     # equivalent, deterministic per seed); counters remain exactly
     # reproducible for a given config.  "auto" = on when eligible.
     kernel_channel_sampling: str = "off"  # "off" | "on" | "auto"
+    # all-zero final-only campaigns normally ride the stats-only kernel
+    # (fastest).  At the full BG1 Z=384 lift its syndrome/stats epilogue
+    # pushes Mosaic's register spills past physical VMEM (measured 129.23 MB
+    # of 128; the plain APP decode fits at a 126 MB budget) — set False to
+    # use the APP + XLA-count composition instead.
+    fused_stats_mode: bool = True
+    # extra kwargs for the fused decoder constructors (e.g. vmem_limit_mb)
+    fused_kwargs: Optional[dict] = None
 
 
 class MonteCarloCampaign:
@@ -165,7 +176,9 @@ class MonteCarloCampaign:
         convention = self.decoder.config.convention
         channel, decoder, cfg = self.channel, self.decoder, self.cfg
         self._ee_step = None
-        self._ee_cap = min(cfg.early_exit_capacity, cfg.batch_size)
+        cap = (cfg.early_exit_capacity if cfg.early_exit_capacity is not None
+               else max(4096, cfg.batch_size // 64))
+        self._ee_cap = min(cap, cfg.batch_size)
         self.kernel_sampling = False
 
         if self.fused:
@@ -176,10 +189,11 @@ class MonteCarloCampaign:
             interp = jax.default_backend() == "cpu"
             nz_bits = float(self.decoder.graph.N * self.decoder.graph.Z)
 
+            fkw = cfg.fused_kwargs or {}
             fused = FusedMinsumDecoder.from_decoder(
                 decoder, self.params,
                 all_iterations=cfg.fused_all_iterations,
-                interpret=interp,
+                interpret=interp, **fkw,
             )
 
             # ---- early-exit building blocks (shared by mesh/single) ----
@@ -305,7 +319,8 @@ class MonteCarloCampaign:
             # measured 4.8M -> 13M+ words/s on the wman deep-waterfall
             # workload (the old jit-boundary composition existed to dodge a
             # round-1 scoped-vmem OOM that the stream kernel does not have)
-            stats_mode = cfg.all_zero and not cfg.fused_all_iterations
+            stats_mode = (cfg.all_zero and not cfg.fused_all_iterations
+                          and cfg.fused_stats_mode)
 
             if cfg.kernel_channel_sampling not in ("off", "on", "auto"):
                 raise ValueError("kernel_channel_sampling: off | on | auto")
@@ -314,7 +329,7 @@ class MonteCarloCampaign:
                 try:
                     sampled_full = FusedMinsumDecoder.from_decoder(
                         self.decoder, self.params, emit_stats=True,
-                        sample_channel=True, interpret=interp,
+                        sample_channel=True, interpret=interp, **fkw,
                     )
                 except ValueError:
                     if cfg.kernel_channel_sampling == "on":
@@ -329,7 +344,7 @@ class MonteCarloCampaign:
             if stats_mode:
                 fused_stats = FusedMinsumDecoder.from_decoder(
                     self.decoder, self.params, emit_stats=True,
-                    interpret=jax.default_backend() == "cpu",
+                    interpret=interp, **fkw,
                 )
 
                 if self.kernel_sampling:

@@ -1942,8 +1942,12 @@ class FusedTrainDecoder:
         # with sample_channel: also write the sampled llr to HBM (the
         # early-exit engine re-decodes escalations from it)
         emit_chan: bool = False,
-        # Mosaic scoped-VMEM budget override (MB); see _TrainMeta
-        vmem_limit_mb: int = 121,
+        # Mosaic scoped-VMEM budget override (MB); None = 121 for
+        # VMEM-resident kernels (calibrated sweet spot), 112 for
+        # HBM-streamed ones (the compiler schedules TO the budget then
+        # overshoots — measured +8.2 MB at BG1 scale, which blew the 128 MB
+        # physical cap from a 121 MB budget); see _TrainMeta
+        vmem_limit_mb: Optional[int] = None,
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
@@ -2013,7 +2017,6 @@ class FusedTrainDecoder:
             emit_stats=emit_stats,
             sample_channel=sample_channel,
             emit_chan=emit_chan,
-            vmem_limit_mb=vmem_limit_mb,
         )
         operand_bytes = 0
         if routing == "matmul":
@@ -2088,6 +2091,12 @@ class FusedTrainDecoder:
                 f"bt={bt}); retry with store_space='hbm' (chunk-streamed "
                 "messages) or the XLA paths (ops/flat.py)"
             )
+        if vmem_limit_mb is None:
+            # HBM-streamed DECODE kernels schedule to the budget then
+            # overshoot (+8.2 MB measured at BG1 scale): leave headroom.
+            # Training HBM kernels keep 121 (hardware-validated at Z<=256).
+            vmem_limit_mb = 112 if (self.meta.hbm_store and not store_msgs) else 121
+        self.meta = dataclasses.replace(self.meta, vmem_limit_mb=vmem_limit_mb)
         self.bt = bt
         self.routing_dtype = routing_dtype
         self.interpret = interpret

@@ -367,6 +367,9 @@ class FusedMinsumDecoder:
         # forwarded to the stream kernel: "vmem" | "hbm" | "auto" message
         # residency (ops/pallas/fused_train.py)
         store_space: str = "auto",
+        # forwarded: Mosaic scoped-VMEM budget (MB); None = auto.  The full
+        # Z=384 BG1 APP decode needs 126 (fixed 123.94 MB stack requirement)
+        vmem_limit_mb=None,
     ):
         if qms_qbit is not None and qms_qbit not in _QMS_TABLE:
             raise ValueError(f"unsupported qms_qbit {qms_qbit}")
@@ -426,6 +429,7 @@ class FusedMinsumDecoder:
                 sample_channel=sample_channel,
                 emit_chan=emit_chan,
                 store_space=store_space,
+                vmem_limit_mb=vmem_limit_mb,
             )
             self.meta = self._delegate.meta
             self.bt = self._delegate.bt

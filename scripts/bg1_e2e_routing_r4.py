@@ -119,9 +119,13 @@ def stage_bg1(results):
     # Z=384 — CodeSpec docstring).  100 frame errors or 50M words per point.
     snrs = (1.0, 1.5, 2.0, 2.5, 3.0)
     chan = AWGNChannel(code, ChannelConfig(snr_db=snrs))
+    # stats-only kernel exceeds physical VMEM at Z=384 (129.23 MB of 128:
+    # ~83 MB register spills + epilogue) — ride the APP + XLA-count
+    # composition at the 126 MB budget the APP kernel needs
     camp = MonteCarloCampaign(dec, params, chan, CampaignConfig(
         batch_size=8192, min_frame_errors=100, max_words_per_snr=50_000_000,
-        engine="fused", sync_every_batches=8, seed=31337))
+        engine="fused", sync_every_batches=8, seed=31337,
+        fused_stats_mode=False, fused_kwargs={"vmem_limit_mb": 126}))
     t0 = time.time()
     camp.run(verbose=True)
     res = camp.results()

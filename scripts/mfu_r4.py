@@ -53,7 +53,7 @@ from neural_ldpc_tpu.models import BoostedDecoderConfig, BoostedNeuralDecoder
 from neural_ldpc_tpu.ops.pallas.minsum import FusedMinsumDecoder
 from neural_ldpc_tpu.structs import Convention, DecoderType, NodeWeightSharingConfig
 
-ROWS, COLS, CHAIN, GRID, NACC = 512, 1024, 64, 64, 8
+ROWS, COLS, CHAIN, GRID, NACC = 256, 512, 64, 256, 8  # 8 live accs = 4 MB/tile
 
 
 def _sol_kernel(mix):
@@ -92,6 +92,8 @@ def measure_sol(mix):
         out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((GRID * ROWS, COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
     fn = jax.jit(fn)
     x = fn(x)
