@@ -44,7 +44,7 @@ REFERENCE_CPU_WORDS_PER_S = 171.8
 # early exit with the auto-guard — actually live).
 STAGES = [
     ("xla", 240.0),
-    ("fused", 420.0),
+    ("fused", 600.0),
     ("campaign", 420.0),
 ]
 
@@ -160,7 +160,7 @@ def _run_campaign_stage():
         code, ChannelConfig(snr_db=(5.5,))), CampaignConfig(
         batch_size=B, min_frame_errors=0, max_words_per_snr=10**15,
         engine="fused", sync_every_batches=32, seed=1,
-        early_exit_iters=3, early_exit_probe_batches=2,
+        early_exit_iters=3, early_exit_probe_batches=4,
         kernel_channel_sampling="auto"))
     camp.run_snr_point(0, batches=2)  # compile + auto-guard probe, off clock
     w0 = int(camp.words[0])

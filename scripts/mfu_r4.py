@@ -67,7 +67,9 @@ def _sol_kernel(mix):
         accs = [a * (0.25 + 0.125 * k) for k in range(NACC)]
         for _ in range(CHAIN):
             if mix == "fma":
-                accs = [jnp.abs(acc * 0.9999 - a) for acc in accs]  # mul+sub+abs
+                # multiply by the DATA (a in [0.5, 1.5]) — a constant-coeff
+                # affine chain folds under Mosaic/LLVM even with 8 chains
+                accs = [jnp.abs(acc * a - 0.9) for acc in accs]  # mul+sub+abs
             else:  # decode mix: add + abs + min (the CN-update op classes)
                 accs = [jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
                         for acc in accs]
