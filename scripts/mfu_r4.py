@@ -66,13 +66,9 @@ def _sol_kernel(mix):
         a = x_ref[...]
         accs = [a * (0.25 + 0.125 * k) for k in range(NACC)]
         for _ in range(CHAIN):
-            if mix == "fma":
-                # multiply by the DATA (a in [0.5, 1.5]) — a constant-coeff
-                # affine chain folds under Mosaic/LLVM even with 8 chains
-                accs = [jnp.abs(acc * a - 0.9) for acc in accs]  # mul+sub+abs
-            else:  # decode mix: add + abs + min (the CN-update op classes)
-                accs = [jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
-                        for acc in accs]
+            # decode mix: add + abs + min (the CN-update op classes)
+            accs = [jnp.minimum(jnp.abs(acc - a), a + acc * 0.001)
+                    for acc in accs]
         total = accs[0]
         for acc in accs[1:]:
             total = total + acc
@@ -231,7 +227,11 @@ def main():
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
-    for mix in ("fma", "decode_mix"):
+    # fma-style constant-coefficient chains either constant-fold or (data-
+    # dependent variants) hang the remote Mosaic compile — the decode-mix
+    # chain is the relevant ceiling and compiles reliably
+    results.pop("sol_fma", None)
+    for mix in ("decode_mix",):
         results[f"sol_{mix}"] = measure_sol(mix)
         print(f"sol_{mix}", json.dumps(results[f"sol_{mix}"]), flush=True)
     results = trace_decode(results)
