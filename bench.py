@@ -45,7 +45,7 @@ REFERENCE_CPU_WORDS_PER_S = 171.8
 STAGES = [
     ("xla", 240.0),
     ("fused", 600.0),
-    ("campaign", 420.0),
+    ("campaign", 700.0),  # 4-5 Mosaic compiles when caches are cold
 ]
 
 
