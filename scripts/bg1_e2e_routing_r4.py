@@ -186,10 +186,14 @@ def stage_routing(results, Zr=16, B=512, n_iter=10):
             dent["words_per_s"] = round(_throughput(fn, x, reps=20))
             ent[f"decode_{mode}"] = dent
             print(tag, f"decode_{mode}", json.dumps(dent), flush=True)
-        # train step: both routings (grad through the custom VJP)
+            results[f"routing_{tag}"] = ent
+            save_results(results)
+        # train step: both routings (grad through the custom VJP).  bt=128:
+        # the matmul-mode backward at E~365/Z=16 needs 125.97 MB of VMEM at
+        # the auto bt=256 (measured OOM)
         xt = x[:128]
         for mode in ("roll", "matmul"):
-            ft = FusedTrainDecoder.from_decoder(dec, routing=mode)
+            ft = FusedTrainDecoder.from_decoder(dec, routing=mode, bt=128)
 
             def loss(c, ft=ft):
                 return jnp.mean(jax.nn.sigmoid(ft.apply(c, uw, vw, xt)[-1]))
