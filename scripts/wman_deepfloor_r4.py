@@ -335,6 +335,8 @@ def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
            else jax.random.PRNGKey(777001))
     t0 = time.time()
 
+    out_path = os.path.join(REPO, "benchmarks", f"{tag}.json")
+
     def flush_json():
         out = {"tag": tag, "ext_npz": os.path.basename(ext_npz),
                "ee_iters": EE_ITERS, "points": {}}
@@ -344,7 +346,7 @@ def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
             out["points"][str(s)] = dict(
                 p, base_fer=p["base_fe"] / w, system_fer=p["sys_fe"] / w,
                 ratio=(p["sys_fe"] / max(p["base_fe"], 1)))
-        with open(OUT, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
 
     for snr in snrs:
@@ -375,7 +377,7 @@ def stage_eval(snrs=(5.5, 5.75), target_base_errors=200,
                   f"sys_fe {p['sys_fe']}, esc {p['escalated']}, "
                   f"{wps:,.0f} w/s", flush=True)
     flush_json()
-    print(json.dumps({"stage": "eval", "out": OUT}), flush=True)
+    print(json.dumps({"stage": "eval", "out": out_path}), flush=True)
 
 
 def main():
@@ -383,13 +385,23 @@ def main():
     ap.add_argument("--stage", required=True,
                     choices=["harvest", "finetune", "eval", "all"])
     ap.add_argument("--ext", default=None)
+    ap.add_argument("--snrs", default=None,
+                    help="comma-separated eval SNRs (default 5.5,5.75)")
+    ap.add_argument("--target", type=int, default=200,
+                    help="base frame errors per eval point")
+    ap.add_argument("--tag", default="wman_deepfloor_r4",
+                    help="eval artifact/state name (benchmarks/<tag>.json)")
     args = ap.parse_args()
     if args.stage in ("harvest", "all"):
         stage_harvest()
     if args.stage in ("finetune", "all"):
         stage_finetune()
     if args.stage in ("eval", "all"):
-        stage_eval(ext_npz=args.ext)
+        kw = dict(ext_npz=args.ext, target_base_errors=args.target,
+                  tag=args.tag)
+        if args.snrs:
+            kw["snrs"] = tuple(float(s) for s in args.snrs.split(","))
+        stage_eval(**kw)
 
 
 if __name__ == "__main__":
