@@ -1951,10 +1951,14 @@ class FusedTrainDecoder:
     ):
         if routing == "auto":
             # roll measured faster on both shipped codes (decode +17-29%,
-            # train +27%, benchmarks/measure_r2.json); matmul remains for
-            # very-high-edge-count protographs where the per-edge unroll
-            # would dominate compile time
-            routing = "roll" if graph.E <= 512 else "matmul"
+            # train +27%, benchmarks/measure_r2.json) AND in the E>512
+            # regime (round 5, benchmarks/bg1_routing_r4.json: at E=580,
+            # decode 2.27x and train 1.42x over matmul, with FASTER
+            # compiles) — the r4 E<=512 threshold was speculative.  matmul
+            # remains only past the capacity gate's compile-practicality
+            # bound (the per-edge unroll dominates builds beyond ~1024
+            # edges).
+            routing = "roll" if graph.E <= 1024 else "matmul"
         if routing not in ("matmul", "roll"):
             raise ValueError(f"unknown routing {routing!r}")
         if routing == "roll":
