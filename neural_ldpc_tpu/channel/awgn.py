@@ -69,8 +69,15 @@ class AWGNChannel:
             self.rate = code.code_rate(n_p, n_s)
         snr = np.asarray(config.snr_db, dtype=np.float64)
         self.sigma = np.sqrt(1.0 / (2.0 * (10.0 ** (snr / 10.0)) * self.rate)).astype(np.float32)
+        # Kept uint8 on device and passed to the jitted sampler as a traced
+        # ARGUMENT, never closed over: a jit-captured device constant is
+        # fetched device->host at every trace, and at BG1 scale the dense
+        # generator is 220 MB (Z=384: [8448, 26112]) — as an embedded
+        # constant it would blow the remote-compile request limit outright.
+        # The f32 cast for the MXU encode happens inside the jit (sums are
+        # <= K*Z = 8448 << 2^24, so f32 accumulation is exact).
         self._gen_matrix = (
-            jnp.asarray(code.gen_matrix, jnp.float32) if code.gen_matrix is not None else None
+            jnp.asarray(code.gen_matrix, jnp.uint8) if code.gen_matrix is not None else None
         )
 
         nz = code.n_bits
@@ -95,11 +102,24 @@ class AWGNChannel:
         generator matrix (reference _gen_y, :195-203)."""
         if self._gen_matrix is None:
             raise ValueError("code has no generator matrix; use all-zero codewords")
-        return jnp.mod(info_bits.astype(jnp.float32) @ self._gen_matrix, 2.0)
+        return _gf2_encode(info_bits, self._gen_matrix)
 
     def random_codewords(self, key: jax.Array, n_words: int) -> jnp.ndarray:
         info = jax.random.bernoulli(key, 0.5, (n_words, self.code.n_info_bits))
         return self.encode(info.astype(jnp.float32))
+
+    def sample_randcw_at_sigma(self, key: jax.Array, n_words: int, sigma: float):
+        """Random-codeword batch at one sigma with the generator as a traced
+        jit argument (BG1-scale generators cannot ride the constant-embedding
+        ``sample`` path — see the ``_gen_matrix`` note in ``__init__``)."""
+        if self._gen_matrix is None:
+            raise ValueError("code has no generator matrix")
+        return _sample_randcw(
+            key, self._gen_matrix, self._mask, self._fill,
+            jnp.full((n_words,), jnp.float32(sigma)), n_words,
+            self.code.n_info_bits, self.code.N, self.code.Z,
+            self.config.convention == Convention.REFERENCE, self.config.qms_qbit,
+        )
 
     def modulate(self, bits: jnp.ndarray) -> jnp.ndarray:
         if self.config.convention == Convention.REFERENCE:
@@ -148,3 +168,25 @@ class AWGNChannel:
 
     def sample_at_sigma(self, key: jax.Array, n_words: int, sigma: float, all_zero: bool = True):
         return self.sample(key, n_words, jnp.full((n_words,), jnp.float32(sigma)), all_zero)
+
+
+def _gf2_encode(info_bits: jnp.ndarray, gen_u8: jnp.ndarray) -> jnp.ndarray:
+    """[B, K*Z] f32 @ uint8 generator -> [B, N*Z] f32 bits (mod-2 of an exact
+    f32 MXU matmul; row sums <= K*Z << 2^24)."""
+    return jnp.mod(info_bits.astype(jnp.float32) @ gen_u8.astype(jnp.float32), 2.0)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _sample_randcw(key, gen_u8, mask, fill, sigma_per_word, n_words, n_info,
+                   N, Z, ref_conv, qbit):
+    k_noise, k_word = jax.random.split(key)
+    info = jax.random.bernoulli(k_word, 0.5, (n_words, n_info))
+    bits = _gf2_encode(info.astype(jnp.float32), gen_u8)
+    sym = (2.0 * bits - 1.0) if ref_conv else (1.0 - 2.0 * bits)
+    sigma = sigma_per_word[:, None].astype(jnp.float32)
+    rx = sym + sigma * jax.random.normal(k_noise, sym.shape, jnp.float32)
+    llr = 2.0 * rx / (sigma ** 2)
+    if qbit is not None:
+        llr = qms_quantize_value(llr, qbit)
+    llr = llr * (1.0 - mask) + fill * mask
+    return llr.reshape(n_words, N, Z), bits

@@ -39,6 +39,27 @@ def test_channel_random_codewords_satisfy_parity():
     assert ((H.astype(np.int64) @ bits.T) % 2).sum() == 0
 
 
+def test_channel_randcw_traced_generator_path():
+    """sample_randcw_at_sigma passes the generator as a traced jit argument
+    (BG1-scale generators cannot be embedded as trace constants — awgn.py
+    ``_gen_matrix`` note): codewords satisfy H, and the LLR statistics match
+    the constant-embedding ``sample`` path at the same sigma."""
+    code = get_code("nr_bg2_set0_z16")
+    from neural_ldpc_tpu.codes import TannerGraph
+
+    H = TannerGraph.from_basegraph(code.basegraph, code.Z).lifted_parity_check_matrix()
+    ch = AWGNChannel(code, ChannelConfig(snr_db=(3.0,)))
+    llr, bits = ch.sample_randcw_at_sigma(jax.random.PRNGKey(7), 64, float(ch.sigma[0]))
+    bits = np.asarray(bits).astype(np.int64)
+    assert bits.sum() > 0
+    assert ((H.astype(np.int64) @ bits.T) % 2).sum() == 0
+    # LLR | bit: mean ~ +-2/sigma^2 under the STANDARD convention
+    llr = np.asarray(llr).reshape(64, -1)
+    s2 = float(ch.sigma[0]) ** 2
+    np.testing.assert_allclose(llr[bits == 0].mean(), 2.0 / s2, rtol=0.05)
+    np.testing.assert_allclose(llr[bits == 1].mean(), -2.0 / s2, rtol=0.05)
+
+
 def test_channel_puncture_shorten_and_qms():
     code = get_code("wman_n576_r34_z24")
     cfg = ChannelConfig(
