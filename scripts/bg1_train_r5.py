@@ -59,11 +59,21 @@ from neural_ldpc_tpu.training.lr_schedule import LearningRate
 N_ITER = 10
 TRAIN_Z = 256
 EVAL_Z = 384
+_ITER = NodeWeightSharingConfig(cn=SharingMode.ITER, ucn=SharingMode.NONE,
+                                vn=SharingMode.NONE)
+_DEG = NodeWeightSharingConfig(cn=SharingMode.DEGREE_ITER, ucn=SharingMode.NONE,
+                               vn=SharingMode.NONE)
+# (sharing, training SNR mix, first loss iteration): the all-iteration BCE at
+# a cliff-heavy mix maximizes waterfall gain but trades away the >=2.75 dB
+# region (measured: cn3/deg6 FER ratio 0.0073-0.0078 at 2.25 dB, 1.12-1.37x
+# WORSE at 2.75/3.0) — "hi" targets that region with a high-SNR-only mix.
+# (A final-iteration-only loss at this mix was tried first and is a dead end:
+# with LLR clip 20 the last-iteration BCE underflows to exactly 0 in f32 at
+# 2.75+ dB — no gradient.  Early-iteration terms keep signal alive.)
 VARIANTS = {
-    "cn3": NodeWeightSharingConfig(cn=SharingMode.ITER, ucn=SharingMode.NONE,
-                                   vn=SharingMode.NONE),
-    "deg6": NodeWeightSharingConfig(cn=SharingMode.DEGREE_ITER, ucn=SharingMode.NONE,
-                                    vn=SharingMode.NONE),
+    "cn3": (_ITER, (2.0, 2.5, 3.0, 3.5), 0),
+    "deg6": (_DEG, (2.0, 2.5, 3.0, 3.5), 0),
+    "hi": (_ITER, (3.0, 3.5), 0),
 }
 
 
@@ -90,13 +100,18 @@ def ckpt_path(tag):
 
 
 def stage_train(args, results):
-    for tag, sharing in VARIANTS.items():
+    for tag in args.train_tags.split(","):
+        sharing, train_snrs, iter_start = VARIANTS[tag]
+        if f"train_{tag}" in results and not args.force:
+            print(f"[train {tag}] already recorded; --force to redo", flush=True)
+            continue
         code, dec = build_decoder(TRAIN_Z, sharing)
-        chan = AWGNChannel(code, ChannelConfig(snr_db=(2.0, 2.5, 3.0, 3.5)))
+        chan = AWGNChannel(code, ChannelConfig(snr_db=train_snrs))
         cfg = TrainConfig(
             total_epochs=args.epochs, batch_size=64,
             train_words_per_epoch=64 * args.steps_per_epoch,
             validate_words=1024, engine="fused", is_y_all_zero=True,
+            training_iter_start=iter_start,
             learning_rate=LearningRate(2e-3, 0.0, 0), grad_clip_norm=1.0,
             validate_epoch_step=5, checkpoint_step=10**9,  # npz below instead
             checkpoint_dir=os.path.join(REPO, "trained", "bg1_train_r5_ckpt"),
@@ -109,7 +124,9 @@ def stage_train(args, results):
         np.savez(ckpt_path(tag), **{k: np.asarray(v) for k, v in params.items()})
         results[f"train_{tag}"] = {
             "Z": TRAIN_Z, "n_iterations": N_ITER, "engine": "fused",
-            "sharing": tag, "n_params": int(sum(np.size(v) for v in params.values())),
+            "sharing": tag, "train_snrs_db": list(train_snrs),
+            "loss_iters": f"{iter_start}:{N_ITER}",
+            "n_params": int(sum(np.size(v) for v in params.values())),
             "epochs": args.epochs, "batch": 64,
             "words_per_epoch": 64 * args.steps_per_epoch,
             "train_wall_s": round(train_s, 1),
@@ -135,7 +152,7 @@ def stage_eval(args, results):
         if f"eval_{tag}" in results and not args.force:
             print(f"[eval {tag}] already recorded; --force to redo", flush=True)
             continue
-        sharing = VARIANTS.get(tag, VARIANTS["cn3"])
+        sharing = VARIANTS.get(tag, VARIANTS["cn3"])[0]
         code, dec = build_decoder(EVAL_Z, sharing)
         params = _load_params(dec, tag)
         chan = AWGNChannel(code, ChannelConfig(snr_db=snrs))
@@ -177,7 +194,7 @@ def stage_eval(args, results):
 
 def stage_randcw(args, results):
     tag = args.eval_tags.split(",")[0]
-    code, dec = build_decoder(EVAL_Z, VARIANTS.get(tag, VARIANTS["cn3"]))
+    code, dec = build_decoder(EVAL_Z, VARIANTS.get(tag, VARIANTS["cn3"])[0])
     params = _load_params(dec, tag)
     code_g = nr_bg1_like(EVAL_Z, with_gen_matrix=True)
     chan = AWGNChannel(code_g, ChannelConfig(snr_db=(args.randcw_snr,)))
@@ -230,6 +247,7 @@ def main():
     ap.add_argument("--randcw-snr", type=float, default=2.5)
     ap.add_argument("--randcw-batches", type=int, default=128)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--train-tags", default="cn3,deg6")
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
     results = load_results()
