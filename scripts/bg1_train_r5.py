@@ -57,7 +57,7 @@ from neural_ldpc_tpu.training.train_loop import TrainConfig, Trainer
 from neural_ldpc_tpu.training.lr_schedule import LearningRate
 
 N_ITER = 10
-TRAIN_Z = 256
+TRAIN_Z = 256  # default; --train-z overrides (lift-size study)
 EVAL_Z = 384
 _ITER = NodeWeightSharingConfig(cn=SharingMode.ITER, ucn=SharingMode.NONE,
                                 vn=SharingMode.NONE)
@@ -95,8 +95,8 @@ def build_decoder(Z, sharing, routing="edge"):
     return code, dec
 
 
-def ckpt_path(tag):
-    return os.path.join(REPO, "trained", f"bg1_ms{N_ITER}_z{TRAIN_Z}_{tag}.npz")
+def ckpt_path(tag, train_z=TRAIN_Z):
+    return os.path.join(REPO, "trained", f"bg1_ms{N_ITER}_z{train_z}_{tag}.npz")
 
 
 def stage_train(args, results):
@@ -235,9 +235,70 @@ def stage_randcw(args, results):
     print(f"[randcw] {json.dumps(results['randcw'])}", flush=True)
 
 
+def stage_liftstudy(args, results):
+    """How small can the training lift be?  Train the high-SNR-mix ITER
+    variant at each study lift, serve at Z=384, and compare the 2.25/2.5 dB
+    FER against the Z=256-trained 'hi' run and plain MS.  Shifts mod Z differ
+    per lift (same basegraph), so this probes protograph-level universality
+    of the learned schedule, not just shape compatibility."""
+    sharing, train_snrs, iter_start = VARIANTS["hi"]
+    snrs = tuple(float(s) for s in args.snrs.split(","))
+    for Zt in (int(z) for z in args.study_zs.split(",")):
+        key = f"liftstudy_z{Zt}"
+        if key in results and not args.force:
+            print(f"[{key}] already recorded", flush=True)
+            continue
+        code, dec = build_decoder(Zt, sharing)
+        chan = AWGNChannel(code, ChannelConfig(snr_db=train_snrs))
+        cfg = TrainConfig(
+            total_epochs=args.epochs, batch_size=64,
+            train_words_per_epoch=64 * args.steps_per_epoch,
+            validate_words=1024, engine="fused", is_y_all_zero=True,
+            training_iter_start=iter_start,
+            learning_rate=LearningRate(2e-3, 0.0, 0), grad_clip_norm=1.0,
+            validate_epoch_step=10**9, checkpoint_step=10**9,
+            checkpoint_dir=os.path.join(REPO, "trained", "bg1_train_r5_ckpt"),
+            export_weights_txt=False, seed=2042, verbose=False,
+        )
+        t0 = time.time()
+        params, _, _ = Trainer(dec, chan, cfg).train()
+        train_s = time.time() - t0
+        np.savez(ckpt_path("hi", Zt), **{k: np.asarray(v) for k, v in params.items()})
+        print(f"[{key}] trained in {train_s:.0f}s; eval at Z={EVAL_Z}", flush=True)
+
+        codeE, decE = build_decoder(EVAL_Z, sharing)
+        chanE = AWGNChannel(codeE, ChannelConfig(snr_db=snrs))
+        camp = MonteCarloCampaign(decE, params, chanE, CampaignConfig(
+            batch_size=8192, min_frame_errors=args.min_fe,
+            max_words_per_snr=args.max_words, engine="fused",
+            sync_every_batches=8, seed=31337,
+            fused_stats_mode=False, fused_kwargs={"vmem_limit_mb": 126}))
+        camp.run(verbose=True)
+        res = camp.results()
+        base = results.get("eval_base", {})
+        fers = [res[s]["fer"][-1] for s in snrs]
+        results[key] = {
+            "train_z": Zt, "eval_z": EVAL_Z, "train_wall_s": round(train_s, 1),
+            "train_snrs_db": list(train_snrs),
+            "weights": {k: np.asarray(v).ravel().round(4).tolist()
+                        for k, v in params.items()},
+            "snrs_db": list(snrs), "words": [int(w) for w in camp.words],
+            "fer": fers,
+            "fer_ratio_vs_base": [
+                fers[i] / base["fer"][base["snrs_db"].index(s)]
+                if base and s in base.get("snrs_db", []) and
+                base["fer"][base["snrs_db"].index(s)] > 0 else None
+                for i, s in enumerate(snrs)],
+        }
+        save_results(results)
+        print(f"[{key}] {json.dumps(results[key]['fer_ratio_vs_base'])}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", required=True, choices=["train", "eval", "randcw"])
+    ap.add_argument("--stage", required=True,
+                    choices=["train", "eval", "randcw", "liftstudy"])
+    ap.add_argument("--study-zs", default="16,64")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--steps-per-epoch", type=int, default=100)
     ap.add_argument("--snrs", default="2.25,2.5,2.75,3.0")
@@ -251,7 +312,8 @@ def main():
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
     results = load_results()
-    {"train": stage_train, "eval": stage_eval, "randcw": stage_randcw}[args.stage](args, results)
+    {"train": stage_train, "eval": stage_eval, "randcw": stage_randcw,
+     "liftstudy": stage_liftstudy}[args.stage](args, results)
 
 
 if __name__ == "__main__":
