@@ -75,7 +75,7 @@ decode("bg2_qms20_decode_int8", bg2_qms, bg2_qms.init_params(), 65536, code2.N, 
 train("bg2_qms20_train", bg2_qms, bg2_qms.init_params(), 2048, code2.N, code2.Z, 20, 10)
 
 out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "benchmarks", "measure_r3.json")
+                   "benchmarks", "measure_r5.json")
 with open(out, "w") as f:
     json.dump(res, f, indent=1)
 print("saved", out, flush=True)
