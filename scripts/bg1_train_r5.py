@@ -148,9 +148,10 @@ def _load_params(dec, tag):
 
 def stage_eval(args, results):
     snrs = tuple(float(s) for s in args.snrs.split(","))
+    suffix = args.result_suffix
     for tag in ["base"] + list(args.eval_tags.split(",")):
-        if f"eval_{tag}" in results and not args.force:
-            print(f"[eval {tag}] already recorded; --force to redo", flush=True)
+        if f"eval_{tag}{suffix}" in results and not args.force:
+            print(f"[eval {tag}{suffix}] already recorded; --force to redo", flush=True)
             continue
         sharing = VARIANTS.get(tag, VARIANTS["cn3"])[0]
         code, dec = build_decoder(EVAL_Z, sharing)
@@ -166,7 +167,7 @@ def stage_eval(args, results):
         t0 = time.time()
         camp.run(verbose=True)
         res = camp.results()
-        results[f"eval_{tag}"] = {
+        results[f"eval_{tag}{suffix}"] = {
             "Z": EVAL_Z, "snrs_db": list(snrs),
             "words": [int(w) for w in camp.words],
             "frame_errors": [int(round(res[s]["fer"][-1] * w))
@@ -176,13 +177,13 @@ def stage_eval(args, results):
             "wall_s": round(time.time() - t0, 1),
         }
         save_results(results)
-        print(f"[eval {tag}] {json.dumps(results[f'eval_{tag}'])}", flush=True)
+        print(f"[eval {tag}{suffix}] {json.dumps(results[f'eval_{tag}{suffix}'])}", flush=True)
     # paired ratios vs base at each point
-    base = results.get("eval_base")
+    base = results.get(f"eval_base{suffix}")
     for tag in args.eval_tags.split(","):
-        ev = results.get(f"eval_{tag}")
+        ev = results.get(f"eval_{tag}{suffix}")
         if base and ev:
-            results[f"gain_{tag}"] = {
+            results[f"gain_{tag}{suffix}"] = {
                 "fer_ratio_vs_base": [
                     (ev["fer"][i] / base["fer"][i]) if base["fer"][i] > 0 else None
                     for i in range(len(base["fer"]))],
@@ -309,6 +310,8 @@ def main():
     ap.add_argument("--randcw-batches", type=int, default=128)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--train-tags", default="cn3,deg6")
+    ap.add_argument("--result-suffix", default="",
+                    help="append to eval_/gain_ result keys (extension runs)")
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
     results = load_results()
