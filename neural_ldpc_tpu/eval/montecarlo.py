@@ -225,12 +225,17 @@ class MonteCarloCampaign:
                 # scatter-compact the failed rows into K slots (argsort over
                 # the 256k-word batches costs more than phase 1 itself)
                 fail = ~ok1
-                pos = jnp.cumsum(fail) - 1  # slot for each failed row
-                rows = jnp.arange(fail.shape[0], dtype=jnp.int32)
-                idx = jnp.zeros(K, jnp.int32).at[
-                    jnp.where(fail, pos, K)  # accepted rows -> dropped slot K
-                ].set(rows, mode="drop")
-                nf = fail.sum()
+                # slot j holds the (j+1)-th failed row: binary-search the
+                # failure-count prefix sum instead of scattering B updates
+                # into K slots (the TPU kCustom scatter emulation cost
+                # 4.8 ms/batch at B=1M — 60x this formulation; mfu_r4.json
+                # ee_step_trace)
+                c = jnp.cumsum(fail.astype(jnp.int32))
+                idx = jnp.searchsorted(
+                    c, jnp.arange(1, K + 1, dtype=jnp.int32)
+                ).astype(jnp.int32)
+                idx = jnp.minimum(idx, fail.shape[0] - 1)
+                nf = c[-1]
                 valid = jnp.arange(K) < nf
                 return idx, valid, nf
 
@@ -404,26 +409,36 @@ class MonteCarloCampaign:
 
             if stats_mode:
                 if self.kernel_sampling:
-                    # phase 1 samples IN KERNEL and re-exports the llr; the
-                    # compacted escalations re-decode from it.  The sampled
+                    # phase 1 samples IN KERNEL; compacted escalations
+                    # RE-SAMPLE their words in kernel from the same
+                    # (seed, index) counter stream — the sampled llr never
+                    # touches HBM in either phase.  (Exporting phase 1's llr
+                    # and gathering escalations from it cost two full-batch
+                    # HBM passes — 13-20% of EE device time at 1M-word
+                    # batches, mfu_r4.json ee_step_trace.)  The sampled
                     # full-unroll step (same seed derivation, same batch
                     # tile) generates identical words, so overflow redos and
                     # the auto-guard probe stay exact.
                     phase1 = FusedMinsumDecoder(
                         decoder.graph, n_iterations=I1, emit_stats=True,
-                        sample_channel=True, emit_chan=True,
-                        bt=sampled_full.bt, **p1_kw
+                        sample_channel=True, bt=sampled_full.bt, **p1_kw
+                    )
+                    esc = FusedMinsumDecoder.from_decoder(
+                        self.decoder, self.params, emit_stats=True,
+                        sample_channel=True, sample_at_idx=sampled_full.bt,
+                        interpret=interp, **fkw,
                     )
 
                     @jax.jit
                     def ee_step(key, sigma):
-                        (ok1, be1v, fe1v), llr = phase1.sample_stats(
-                            _seed_of(key), sigma, cfg.batch_size
+                        seed = _seed_of(key)
+                        ok1, be1v, fe1v = phase1.sample_stats(
+                            seed, sigma, cfg.batch_size
                         )
                         be1 = (be1v * ok1).sum()
                         fe1 = (fe1v & ok1).sum().astype(jnp.float32)
                         idx, valid, nf = _compact_idx(ok1, K)
-                        _, be2v, fe2v = fused_stats(llr[idx])
+                        _, be2v, fe2v = esc.stats_sampled_at(seed, sigma, idx)
                         be2 = (be2v * valid).sum()
                         fe2 = (fe2v & valid).sum().astype(jnp.float32)
                         return _counts(be1 + be2, fe1 + fe2, cfg.batch_size), nf

@@ -142,6 +142,13 @@ class _TrainMeta:
     # early-exit engine re-decodes escalated words from it); without it the
     # llr never leaves the kernel
     emit_chan: bool = False
+    # with sample_channel: instead of sampling the tile's own words, take a
+    # per-word ORIGINAL-batch-index input and reproduce the counter-hash
+    # stream of a phase-1 sampler whose batch tile width was this value
+    # (power of two; 0 = off).  The early-exit engine re-decodes compacted
+    # escalations this way — no llr export, no full-batch transpose/gather
+    # ever touches HBM.
+    sample_at_idx: int = 0
     # Mosaic scoped-VMEM budget (MB).  121 is the calibrated sweet spot
     # (the compiler schedules TO the limit then overshoots a few MB;
     # physical v5e VMEM is 128).  The full Z=384 BG1 decode's fixed stack
@@ -835,8 +842,12 @@ def _ucn_mask_one(sign_rows, d: int, nc: int, meta: _TrainMeta):
 # ---------------------------------------------------------------------------
 def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_ref,
                 cnw_ref, vnw_ref, ucnw_ref, *refs):
+    widx_ref = None
     if meta.sample_channel:
-        seed_ref, sigma_ref, *refs = refs
+        if meta.sample_at_idx:
+            seed_ref, sigma_ref, widx_ref, *refs = refs
+        else:
+            seed_ref, sigma_ref, *refs = refs
     chan_out_ref = None
     if meta.store_msgs:
         out_ref, store_ref, *rest = refs
@@ -879,12 +890,24 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
             # transcendentals are the expensive ops on the VPU)
             half = _round8(-(-full[0] // 2))
             shape = (half, full[1])
-            key = seed_ref[0].astype(jnp.uint32) ^ (
-                bi_tile.astype(jnp.uint32) * jnp.uint32(2654435761)
-            )
             rowc = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            colc = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            idx = rowc * jnp.uint32(shape[1]) + colc
+            if meta.sample_at_idx:
+                # reproduce the stream of a phase-1 sampler with tile width
+                # bt1: word w was sampled in tile (w >> log2(bt1)) at column
+                # (w & (bt1-1)) — rebuild its key/counter from the ORIGINAL
+                # index regardless of this kernel's own tile layout
+                bt1 = int(meta.sample_at_idx)
+                shift = bt1.bit_length() - 1
+                w = widx_ref[0, :].astype(jnp.uint32)  # [bt] original index
+                key = (seed_ref[0].astype(jnp.uint32) ^ (
+                    (w >> shift) * jnp.uint32(2654435761)))[None, :]
+                idx = rowc * jnp.uint32(bt1) + (w & jnp.uint32(bt1 - 1))[None, :]
+            else:
+                key = seed_ref[0].astype(jnp.uint32) ^ (
+                    bi_tile.astype(jnp.uint32) * jnp.uint32(2654435761)
+                )
+                colc = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+                idx = rowc * jnp.uint32(shape[1]) + colc
 
             def _mix(h):  # lowbias32: full-avalanche 32-bit finalizer
                 h = h ^ (h >> 16)
@@ -1029,7 +1052,7 @@ def _fwd_kernel(meta: _TrainMeta, routing_dtype, chan_ref, chanq_ref, rt_ref, r_
     jax.jit, static_argnames=("meta", "bt", "routing_dtype", "interpret")
 )
 def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
-             routing_dtype, interpret, seed=None, sigma=None):
+             routing_dtype, interpret, seed=None, sigma=None, widx=None):
     NZp, B = (meta.NZp, chan.shape[1]) if meta.sample_channel else chan.shape
     EZp = meta.E * meta.Zp
     I = meta.n_iterations
@@ -1100,6 +1123,10 @@ def _fwd_run(chan, chanq, rt, r, cnw, vnw, ucnw, meta: _TrainMeta, bt: int,
         ]
         args += [jnp.asarray(seed, jnp.int32).reshape(1),
                  jnp.asarray(sigma, jnp.float32).reshape(1)]
+        if meta.sample_at_idx:
+            in_specs.append(pl.BlockSpec((1, bt), lambda bi, i: (0, bi),
+                                         memory_space=pltpu.VMEM))
+            args.append(widx.astype(jnp.int32).reshape(1, B))
         scratch.append(pltpu.VMEM((NZp, bt), jnp.float32))
     res = pl.pallas_call(
         kernel,
@@ -1942,6 +1969,11 @@ class FusedTrainDecoder:
         # with sample_channel: also write the sampled llr to HBM (the
         # early-exit engine re-decodes escalations from it)
         emit_chan: bool = False,
+        # with sample_channel: decode words at caller-given ORIGINAL batch
+        # indices, re-sampling their channel from the counter stream of a
+        # phase-1 sampler whose tile width was this value (power of two;
+        # 0 = off) — use apply_sampled_at(seed, sigma, widx)
+        sample_at_idx: int = 0,
         # Mosaic scoped-VMEM budget override (MB); None = 121 for
         # VMEM-resident kernels (calibrated sweet spot), 112 for
         # HBM-streamed ones (the compiler schedules TO the budget then
@@ -1990,6 +2022,16 @@ class FusedTrainDecoder:
         if emit_chan and not sample_channel:
             raise ValueError("emit_chan re-exports the IN-KERNEL sampled llr; "
                              "set sample_channel=True")
+        if sample_at_idx:
+            if not sample_channel:
+                raise ValueError("sample_at_idx re-samples IN KERNEL; set "
+                                 "sample_channel=True")
+            if emit_chan:
+                raise ValueError("sample_at_idx and emit_chan are exclusive "
+                                 "(index mode exists to avoid the llr export)")
+            if sample_at_idx & (sample_at_idx - 1):
+                raise ValueError("sample_at_idx must be the phase-1 batch "
+                                 "tile width, a power of two")
         self.graph = graph
         edge_perm, deg_classes, R = build_layout(
             graph, need_routing_operand=routing == "matmul")
@@ -2021,6 +2063,7 @@ class FusedTrainDecoder:
             emit_stats=emit_stats,
             sample_channel=sample_channel,
             emit_chan=emit_chan,
+            sample_at_idx=int(sample_at_idx),
         )
         operand_bytes = 0
         if routing == "matmul":
@@ -2158,7 +2201,8 @@ class FusedTrainDecoder:
         w = jnp.pad(w, ((0, 0), (0, m.Np8 - m.N)))
         return jnp.broadcast_to(w[:, :, None], (m.n_iterations, m.Np8, self.bt))
 
-    def _fwd_any(self, cnw, vnw, ucnw, chan, chanq, seed=None, sigma=None):
+    def _fwd_any(self, cnw, vnw, ucnw, chan, chanq, seed=None, sigma=None,
+                 widx=None):
         """(outs, store, syn, sampled_chan) from whichever kernel fits."""
         if self.meta.hbm_store:
             outs, store, syn = _fwd_run_hbm(
@@ -2169,7 +2213,7 @@ class FusedTrainDecoder:
         return _fwd_run(
             chan, chanq, self._rt, self._r, cnw, vnw, ucnw,
             self.meta, self.bt, self.routing_dtype, self.interpret,
-            seed=seed, sigma=sigma,
+            seed=seed, sigma=sigma, widx=widx,
         )
 
     def _primal(self, cnw, vnw, ucnw, chan, chanq):
@@ -2210,6 +2254,27 @@ class FusedTrainDecoder:
         x = chan_llr.reshape(B, m.N, m.Z).astype(jnp.float32)
         x = jnp.pad(x, ((0, (-B) % self.bt), (0, 0), (0, m.Zp - m.Z)))
         chan = x.reshape(x.shape[0], m.NZp).T  # [NZp, Bp], per-VN Zp layout
+        return self._apply_from_packed(cn_w, ucn_w, vn_w, chan, B)
+
+    def apply_packed(self, cn_w, ucn_w, vn_w, chan_packed):
+        """Stats-only decode from an ALREADY-PACKED ``[NZp, B']`` channel
+        buffer (the raw ``emit_chan`` kernel layout, per-VN Zp rows).  The
+        early-exit engine column-gathers compacted escalations out of the
+        phase-1 buffer and re-decodes them here WITHOUT the
+        [NZp,B] -> [B,N,Z] -> [NZp,K] transpose round trip (a 2x full-batch
+        HBM pass at 1M-word batches — see benchmarks/mfu_r4.json
+        ee_step_trace)."""
+        m = self.meta
+        if not m.emit_stats:
+            raise ValueError("apply_packed is a stats-only path "
+                             "(construct with emit_stats=True)")
+        B = chan_packed.shape[1]
+        chan = jnp.pad(chan_packed.astype(jnp.float32),
+                       ((0, 0), (0, (-B) % self.bt)))
+        return self._apply_from_packed(cn_w, ucn_w, vn_w, chan, B)
+
+    def _apply_from_packed(self, cn_w, ucn_w, vn_w, chan, B):
+        m = self.meta
         # MS: chanq IS chan — a tiny placeholder rides instead of a second
         # [NZp, B] stream (at BG1 scale that window decided VMEM fit); the
         # channel-quantizer STE stays differentiated outside the kernel
@@ -2256,14 +2321,16 @@ class FusedTrainDecoder:
             return o, syn[0, :B] > 0.5
         return o
 
-    def apply_sampled(self, cn_w, ucn_w, vn_w, seed, sigma, batch: int):
+    def apply_sampled(self, cn_w, ucn_w, vn_w, seed, sigma, batch: int,
+                      raw_chan: bool = False):
         """Stats-only decode with IN-KERNEL channel sampling (all-zero
         words): no llr ever crosses XLA<->kernel.  ``seed`` int32 scalar
         (vary per batch), ``sigma`` f32 noise std, ``batch`` static.
 
         Returns (ok [B] bool, bit_errors [B], frame_error [B] bool); with
-        emit_chan additionally the sampled llr [B, N, Z] (the early-exit
-        engine re-decodes escalations from it)."""
+        emit_chan additionally the sampled llr — as [B, N, Z] by default,
+        or (raw_chan=True) the raw packed [NZp, Bp] buffer for
+        ``apply_packed`` (skips a 2x full-batch HBM transpose pass)."""
         m = self.meta
         if not m.sample_channel:
             raise ValueError("construct with sample_channel=True")
@@ -2294,5 +2361,46 @@ class FusedTrainDecoder:
         res = (stats[0, :batch] > 0.5, stats[1, :batch], stats[2, :batch] > 0.5)
         if not m.emit_chan:
             return res
+        if raw_chan:
+            return res, chan
         llr = chan.T[:batch].reshape(batch, m.N, m.Zp)[:, :, : m.Z]
         return res, llr
+
+    def apply_sampled_at(self, cn_w, ucn_w, vn_w, seed, sigma, widx):
+        """Stats-only decode of the words at ORIGINAL batch indices ``widx``
+        [K] int32, re-sampling their channel IN KERNEL from the same
+        (seed, index) counter stream as a phase-1 sampler (construct with
+        sample_at_idx=<phase-1 bt>).  The early-exit engine escalates
+        compacted failures this way: the sampled llr never touches HBM in
+        either phase."""
+        m = self.meta
+        if not m.sample_at_idx:
+            raise ValueError("construct with sample_at_idx=<phase-1 bt>")
+        K = widx.shape[0]
+        Kp = K + (-K) % self.bt
+        widx_p = jnp.pad(widx.astype(jnp.int32), (0, Kp - K))
+        dummy_chan = jnp.zeros((8, Kp), jnp.float32)
+        dummy_q = jnp.zeros((8, 128), jnp.float32)
+        dummy = jnp.ones(
+            (m.n_iterations, 8, 1 if m.w_layout == "col" else 128), jnp.float32
+        )
+        ones_e = jnp.ones((m.n_iterations, m.E), jnp.float32)
+        ones_n = jnp.ones((m.n_iterations, m.N), jnp.float32)
+        cnw = (
+            self._pack_edge_w(cn_w if cn_w is not None else ones_e)
+            if (m.has_cn_w or m.has_ucn) else dummy
+        )
+        ucnw = (
+            self._pack_edge_w(ucn_w if ucn_w is not None else ones_e)
+            if m.has_ucn else dummy
+        )
+        vnw = (
+            self._pack_vn_w(vn_w if vn_w is not None else ones_n)
+            if m.has_vn_w else dummy
+        )
+        outs, _, _, _ = self._fwd_any(
+            cnw, vnw, ucnw, dummy_chan, dummy_q, seed=seed, sigma=sigma,
+            widx=widx_p,
+        )
+        stats = outs[0]
+        return stats[0, :K] > 0.5, stats[1, :K], stats[2, :K] > 0.5

@@ -364,6 +364,10 @@ class FusedMinsumDecoder:
         # with sample_channel: sample_stats also returns the sampled llr
         # [B, N, Z] (the early-exit engine re-decodes escalations from it)
         emit_chan: bool = False,
+        # with sample_channel: decode words at caller-given original batch
+        # indices via stats_sampled_at(seed, sigma, widx), re-sampling their
+        # channel in kernel (value = the phase-1 sampler's bt; 0 = off)
+        sample_at_idx: int = 0,
         # forwarded to the stream kernel: "vmem" | "hbm" | "auto" message
         # residency (ops/pallas/fused_train.py)
         store_space: str = "auto",
@@ -428,6 +432,7 @@ class FusedMinsumDecoder:
                 emit_stats=emit_stats,
                 sample_channel=sample_channel,
                 emit_chan=emit_chan,
+                sample_at_idx=sample_at_idx,
                 store_space=store_space,
                 vmem_limit_mb=vmem_limit_mb,
             )
@@ -545,15 +550,39 @@ class FusedMinsumDecoder:
             )
         return self._jitted(chan_llr)
 
-    def sample_stats(self, seed, sigma, batch: int):
+    def sample_stats(self, seed, sigma, batch: int, raw_chan: bool = False):
         """Stats-only decode with in-kernel channel sampling: (ok [B],
-        bit_errors [B], frame_error [B]) — plus the sampled llr [B, N, Z]
-        when constructed with emit_chan=True.  ``seed`` int32 scalar (vary
-        per batch), ``sigma`` f32 noise std.  Call under jit."""
+        bit_errors [B], frame_error [B]) — plus the sampled llr when
+        constructed with emit_chan=True ([B, N, Z], or the raw packed
+        [NZp, Bp] buffer with raw_chan=True — see ``stats_packed``).
+        ``seed`` int32 scalar (vary per batch), ``sigma`` f32 noise std.
+        Call under jit."""
         if self._delegate is None or not self._delegate.meta.sample_channel:
             raise ValueError("construct with sample_channel=True")
         cn_w, ucn_w, vn_w = self._w
-        return self._delegate.apply_sampled(cn_w, ucn_w, vn_w, seed, sigma, batch)
+        return self._delegate.apply_sampled(cn_w, ucn_w, vn_w, seed, sigma,
+                                            batch, raw_chan=raw_chan)
+
+    def stats_sampled_at(self, seed, sigma, widx):
+        """Stats-only decode of the words at original batch indices ``widx``
+        [K] int32, RE-SAMPLING their channel in kernel from the same
+        (seed, index) counter stream as the phase-1 sampler (construct with
+        sample_channel=True, sample_at_idx=<phase-1 bt>).  Call under jit."""
+        if self._delegate is None or not self._delegate.meta.sample_at_idx:
+            raise ValueError("construct with sample_at_idx=<phase-1 bt>")
+        cn_w, ucn_w, vn_w = self._w
+        return self._delegate.apply_sampled_at(cn_w, ucn_w, vn_w, seed, sigma,
+                                               widx)
+
+    def stats_packed(self, chan_packed):
+        """Stats-only decode from a raw packed [NZp, B'] channel buffer (the
+        ``sample_stats(raw_chan=True)`` layout): the early-exit engine
+        column-gathers escalations and re-decodes them without any
+        full-batch transpose.  Call under jit."""
+        if self._delegate is None:
+            raise ValueError("stats_packed requires the fused-train delegate")
+        cn_w, ucn_w, vn_w = self._w
+        return self._delegate.apply_packed(cn_w, ucn_w, vn_w, chan_packed)
 
     def _delegate_impl(self, chan_llr: jnp.ndarray) -> jnp.ndarray:
         cn_w, ucn_w, vn_w = self._w
