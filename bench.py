@@ -160,7 +160,13 @@ def _run_campaign_stage():
         code, ChannelConfig(snr_db=(5.5,))), CampaignConfig(
         batch_size=B, min_frame_errors=0, max_words_per_snr=10**15,
         engine="fused", sync_every_batches=32, seed=1,
-        early_exit_iters=3, early_exit_probe_batches=4,
+        # r5 trace sweep (scripts/trace_ee_now.py): I1=2 + cap B//32 beats
+        # I1=3 + the default cap 19.1M vs 17.2M words/s at 5.5 dB — one
+        # less phase-1 iteration outweighs the 2x escalation capacity now
+        # that escalations re-sample in kernel and compaction is
+        # searchsorted (both scale with capacity, not batch)
+        early_exit_iters=2, early_exit_capacity=B // 32,
+        early_exit_probe_batches=4,
         kernel_channel_sampling="auto"))
     camp.run_snr_point(0, batches=2)  # compile + auto-guard probe, off clock
     w0 = int(camp.words[0])
